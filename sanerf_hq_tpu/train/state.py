@@ -1,0 +1,98 @@
+"""Training state: params + optimizer + EMA + freeze mask.
+
+Reference semantics:
+  - Adam(eps=1e-15, default betas) (main.py:283)
+  - LambdaLR lr * 0.1 ** min(step/iters, 1), stepped every iteration
+    (main.py:298-299, scheduler_update_every_step=True)
+  - EMA decay 0.95 over trainable params (nerf/trainer.py:139), updated once
+    per epoch (nerf/trainer.py:1522)
+  - stage hand-off: params loaded from init_ckpt are frozen by name
+    membership (main.py:249-256) — here an explicit boolean freeze mask and
+    optax.set_to_zero for the frozen subtree.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    ema_decay: float = struct.field(pytree_node=False, default=0.95)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state
+        )
+
+    def update_ema(self):
+        d = self.ema_decay
+        new_ema = jax.tree.map(
+            lambda e, p: d * e + (1.0 - d) * p, self.ema_params, self.params
+        )
+        return self.replace(ema_params=new_ema)
+
+
+def exp_decay_schedule(base_lr: float, total_iters: int) -> Callable:
+    """lr(t) = base_lr * 0.1 ** min(t / total_iters, 1) (main.py:298-299)."""
+
+    def schedule(step):
+        frac = jnp.minimum(step / total_iters, 1.0)
+        return base_lr * (0.1 ** frac)
+
+    return schedule
+
+
+def make_optimizer(base_lr: float, total_iters: int,
+                   freeze_mask: Optional[Any] = None) -> optax.GradientTransformation:
+    """Adam(eps=1e-15) with the reference's exponential decay.
+
+    freeze_mask: pytree of bools matching params; True = frozen (gradient
+    zeroed), mirroring requires_grad=False in main.py:249-256."""
+    tx = optax.adam(
+        learning_rate=exp_decay_schedule(base_lr, total_iters),
+        b1=0.9, b2=0.999, eps=1e-15,
+    )
+    if freeze_mask is not None:
+        labels = jax.tree.map(lambda f: "frozen" if f else "train", freeze_mask)
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, labels
+        )
+    return tx
+
+
+def create_train_state(params, base_lr: float, total_iters: int,
+                       freeze_mask: Optional[Any] = None,
+                       ema_decay: float = 0.95) -> TrainState:
+    tx = make_optimizer(base_lr, total_iters, freeze_mask)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=params,
+        tx=tx,
+        ema_decay=ema_decay,
+    )
+
+
+def freeze_mask_from_loaded(params, loaded_params) -> Any:
+    """True (frozen) for every leaf whose path exists in loaded_params —
+    the reference freezes exactly the params present in the stage-1
+    checkpoint (main.py:249-256)."""
+    flat_loaded = set(flax.traverse_util.flatten_dict(
+        flax.core.unfreeze(loaded_params)).keys())
+    flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(params))
+    mask = {k: (k in flat_loaded) for k in flat.keys()}
+    return flax.traverse_util.unflatten_dict(mask)
