@@ -83,16 +83,24 @@ class SANeRFField(nn.Module):
     mask_mlp_type: str = "default"
     n_inst: int = 2
     sam_use_view_direction: bool = False
+    # optional spec overrides (testing / ablation); None = reference config
+    main_spec: Optional[HashGridSpec] = None
+    feat_spec: Optional[HashGridSpec] = None
+    prop_spec_0: Optional[HashGridSpec] = None
+    prop_spec_1: Optional[HashGridSpec] = None
 
     def setup(self):
-        self.grid_spec = main_grid_spec(self.grid_bound)
+        self.grid_spec = self.main_spec or main_grid_spec(self.grid_bound)
         self.grid = self.param(
             "grid", lambda k: init_hash_table(k, self.grid_spec)
         )
         self.grid_mlp = MLP(1 + GEOM_FEAT_DIM, 64, 3, use_bias=False)
         self.view_mlp = MLP(3, 32, 3, use_bias=False)
 
-        self.prop_specs = (prop_grid_spec(128), prop_grid_spec(256))
+        self.prop_specs = (
+            self.prop_spec_0 or prop_grid_spec(128),
+            self.prop_spec_1 or prop_grid_spec(256),
+        )
         self.prop_grid_0 = self.param(
             "prop_grid_0", lambda k: init_hash_table(k, self.prop_specs[0])
         )
@@ -103,7 +111,7 @@ class SANeRFField(nn.Module):
         self.prop_mlp_1 = MLP(1, 16, 2, use_bias=False)
 
         if self.with_sam:
-            self.s_spec = feature_grid_spec()
+            self.s_spec = self.feat_spec or feature_grid_spec()
             self.s_grid_table = self.param(
                 "s_grid", lambda k: init_hash_table(k, self.s_spec)
             )
@@ -114,7 +122,7 @@ class SANeRFField(nn.Module):
 
         if self.with_mask:
             if self.mask_mlp_type == "default":
-                self.m_spec = feature_grid_spec()
+                self.m_spec = self.feat_spec or feature_grid_spec()
                 self.m_grid_table = self.param(
                     "m_grid", lambda k: init_hash_table(k, self.m_spec)
                 )
