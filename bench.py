@@ -1,0 +1,83 @@
+"""Headline benchmark: rendering throughput (Mrays/sec/chip) of the flagship
+TPU-native field (MXU-bound freq-MLP backbone, see models/mlp_field.py) with
+the full 3-level proposal sampler at the reference cost envelope
+(128+64+32 = 224 samples/ray, BASELINE.md).
+
+Timing is honest device time: K renders chained inside ONE jitted
+fori_loop with a data dependency, result pulled to host — this amortizes
+the per-dispatch RPC latency of the TPU tunnel and defeats async-dispatch
+mismeasurement (block_until_ready does not block on this platform).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
+vs_baseline is vs the 2 Mrays/sec/chip north-star target.
+
+Env knobs: BENCH_FIELD=hashgrid|mlp (default mlp), BENCH_RAYS, BENCH_ITERS.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from sanerf_hq_tpu.models import make_field
+    from sanerf_hq_tpu.render import RenderSettings, render_rays
+
+    field_type = os.environ.get("BENCH_FIELD", "mlp")
+    n_rays = int(os.environ.get("BENCH_RAYS", 65536))
+    iters = int(os.environ.get("BENCH_ITERS", 8 if field_type == "mlp" else 2))
+
+    model = make_field(field_type, grid_bound=2.0)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((4, 3)), jnp.ones((4, 3))
+    )
+    settings = RenderSettings(
+        num_steps=(128, 64, 32), use_contract=True, min_near=0.2,
+        background="last_sample", bound=128.0,
+    )
+    render_fn = nn.apply(
+        lambda f, o, d: render_rays(f, o, d, settings), model
+    )
+
+    rng = np.random.default_rng(0)
+    o = rng.normal(size=(n_rays, 3))
+    o = 3.0 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d = -o + 0.1 * rng.normal(size=(n_rays, 3))
+    rays_o = jnp.asarray(o, jnp.float32)
+    rays_d = jnp.asarray(d, jnp.float32)
+
+    @jax.jit
+    def run(params, rays_o, rays_d, k):
+        def body(i, carry):
+            out = render_fn(params, rays_o + carry * 0.0, rays_d)
+            return carry + jnp.sum(out["image"][0]) * 1e-20
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    # compile + warmup
+    float(run(params, rays_o, rays_d, 1))
+    # measure dispatch floor with k=1, then amortized with k=iters+1
+    t0 = time.perf_counter()
+    float(run(params, rays_o, rays_d, 1))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run(params, rays_o, rays_d, 1 + iters))
+    t2 = time.perf_counter() - t0
+    per_render = max((t2 - t1) / iters, 1e-9)
+
+    mrays = n_rays / per_render / 1e6
+    print(json.dumps({
+        "metric": f"render_throughput_{field_type}",
+        "value": round(mrays, 4),
+        "unit": "Mrays/sec/chip",
+        "vs_baseline": round(mrays / 2.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -129,6 +129,10 @@ class Config:
     circle: bool = False
 
     # --- TPU-native additions (no reference counterpart) ---
+    # 'hashgrid' = reference-parity Instant-NGP field (gather-bound on TPU);
+    # 'mlp' = TPU-native flagship (MXU-bound freq-MLP field, see
+    # models/mlp_field.py for the measured rationale)
+    field_type: str = "hashgrid"
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel mesh over all devices
     mesh_axis_names: Tuple[str, ...] = ("data",)
     param_dtype: str = "float32"

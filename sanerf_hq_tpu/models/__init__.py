@@ -1,4 +1,5 @@
 from .mlp import MLP, SkipConnMLP
+from .mlp_field import MLPField, FreqMLP, make_field
 from .fields import (
     SANeRFField,
     main_grid_spec,

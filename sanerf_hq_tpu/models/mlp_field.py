@@ -1,0 +1,207 @@
+"""TPU-native flagship field: frequency-encoded MLP radiance field.
+
+WHY THIS EXISTS (measured on TPU v5e, see docs/PERF.md): XLA random gather
+runs at ~177M lookups/s and scatter-add at ~23M/s, while the MXU delivers
+~100+ TFLOP/s.  An Instant-NGP hash grid needs 128 gathers per sample —
+its speed-of-light on this chip is ~0.015 Mrays/s regardless of kernel
+engineering, because random HBM access is scalar-issue bound.  The
+TPU-idiomatic field channels all work into matmuls: frequency encoding +
+dense MLPs (the mip-NeRF/jaxnerf design, which Google ran on TPU for
+exactly this reason).  This field implements the SAME interface as
+SANeRFField so the renderer, trainer, and all three stages are
+representation-agnostic:
+
+  - field_type='hashgrid' -> SANeRFField  (reference parity w/ CUDA
+    gridencoder semantics, gather-bound on TPU)
+  - field_type='mlp'      -> MLPField     (flagship: MXU-bound,
+    north-star throughput)
+
+Architecture: deferred color exactly like the reference renderer
+(nerf/renderer.py:338-340) — per-sample features are composited, THEN the
+tiny view MLP runs per ray.  Proposal densities come from small
+freq-encoded MLPs instead of hash grids (mip-NeRF 360's proposal-MLP
+design) — pure matmul.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import HashGridSpec, hash_encode, sh_encode, trunc_exp, freq_encode
+from ..ops.hashgrid import init_hash_table
+from .mlp import MLP, SkipConnMLP, torch_kernel_init
+from .fields import (
+    GEOM_FEAT_DIM,
+    SH_DEGREE,
+    SH_DIM,
+    SAM_OUTPUT_DIM,
+    feature_grid_spec,
+    lightweight_mask_grid_spec,
+)
+
+
+class FreqMLP(nn.Module):
+    """Frequency-encode -> dense trunk. Runs in bf16 on the MXU with fp32
+    params and fp32 outputs."""
+    dim_out: int
+    dim_hidden: int = 256
+    num_layers: int = 4
+    freq_degree: int = 10
+    skip_layer: int = -1
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = freq_encode(x, self.freq_degree).astype(self.compute_dtype)
+        h_in = h
+        for l in range(self.num_layers):
+            if l == self.skip_layer:
+                h = jnp.concatenate([h, h_in], axis=-1)
+            fout = self.dim_out if l == self.num_layers - 1 else self.dim_hidden
+            h = nn.Dense(fout, use_bias=False, kernel_init=torch_kernel_init,
+                         dtype=self.compute_dtype)(h)
+            if l != self.num_layers - 1:
+                h = nn.relu(h)
+        return h.astype(jnp.float32)
+
+
+class MLPField(nn.Module):
+    """Drop-in alternative backbone to SANeRFField (same method surface)."""
+
+    grid_bound: float = 2.0
+    with_sam: bool = False
+    with_mask: bool = False
+    mask_mlp_type: str = "default"
+    n_inst: int = 2
+    sam_use_view_direction: bool = False
+    hidden: int = 256
+    num_layers: int = 4
+    freq_degree: int = 10
+    prop_hidden: int = 64
+    prop_layers: int = 3
+    prop_freq_degree: int = 6
+    feat_spec: Optional[HashGridSpec] = None
+
+    def setup(self):
+        self.trunk = FreqMLP(
+            1 + GEOM_FEAT_DIM, self.hidden, self.num_layers,
+            self.freq_degree, skip_layer=self.num_layers // 2,
+        )
+        self.view_mlp = MLP(3, 32, 3, use_bias=False)
+        self.prop_mlp_0 = FreqMLP(1, self.prop_hidden, self.prop_layers,
+                                  self.prop_freq_degree)
+        self.prop_mlp_1 = FreqMLP(1, self.prop_hidden, self.prop_layers,
+                                  self.prop_freq_degree)
+
+        # SAM / mask feature containers stay hash-grid (they are *trained
+        # feature volumes* like the reference's s_grid/m_grid); the backbone
+        # swap only affects the radiance field.
+        if self.with_sam:
+            self.s_spec = self.feat_spec or feature_grid_spec()
+            self.s_grid_table = self.param(
+                "s_grid", lambda k: init_hash_table(k, self.s_spec)
+            )
+            self.samvit_mlp = SkipConnMLP(
+                SAM_OUTPUT_DIM, SAM_OUTPUT_DIM, 5, skip_layers=(2,), use_bias=True
+            )
+            self.samvit_norm = nn.LayerNorm(epsilon=1e-5)
+
+        if self.with_mask:
+            if self.mask_mlp_type == "default":
+                self.m_spec = self.feat_spec or feature_grid_spec()
+                self.m_grid_table = self.param(
+                    "m_grid", lambda k: init_hash_table(k, self.m_spec)
+                )
+                self.mask_mlp = SkipConnMLP(
+                    self.n_inst, 256, 3, skip_layers=(), use_bias=False
+                )
+            else:
+                self.m_spec = lightweight_mask_grid_spec()
+                self.m_grid_table = self.param(
+                    "m_grid", lambda k: init_hash_table(k, self.m_spec)
+                )
+                self.mask_mlp = MLP(self.n_inst, 64, 3, use_bias=False)
+
+    def _norm(self, x):
+        # contracted coords in [-grid_bound, grid_bound] -> [-1, 1]
+        return x / self.grid_bound
+
+    def common_forward(self, x):
+        f = self.trunk(self._norm(x))
+        sigma = trunc_exp(f[..., 0])
+        feat = f[..., 1:]
+        return sigma, feat, f
+
+    def density(self, x, proposal: int = -1):
+        if proposal == 0:
+            return trunc_exp(self.prop_mlp_0(self._norm(x))[..., 0])
+        if proposal == 1:
+            return trunc_exp(self.prop_mlp_1(self._norm(x))[..., 0])
+        sigma, _, _ = self.common_forward(x)
+        return sigma
+
+    def forward_color(self, x, d):
+        sigma, feat, raw = self.common_forward(x)
+        d_enc = sh_encode(d, SH_DEGREE)
+        color = jnp.concatenate([feat, d_enc], axis=-1)
+        return sigma, feat, color, raw
+
+    def apply_view_mlp(self, f_image):
+        return self.view_mlp(f_image)
+
+    def sam_features(self, x):
+        return hash_encode(self.s_grid_table, x, self.s_spec, bound=self.grid_bound)
+
+    def apply_samvit_mlp(self, f):
+        return self.samvit_norm(self.samvit_mlp(f))
+
+    def mask_features(self, x):
+        return hash_encode(self.m_grid_table, x, self.m_spec, bound=self.grid_bound)
+
+    def apply_mask_mlp(self, m):
+        return self.mask_mlp(m)
+
+    def __call__(self, x, d):
+        sigma, feat, color, raw = self.forward_color(x, d)
+        _ = self.density(x, proposal=0)
+        _ = self.density(x, proposal=1)
+        _ = self.apply_view_mlp(
+            jnp.zeros((*x.shape[:-1], GEOM_FEAT_DIM + SH_DIM), jnp.float32)
+        )
+        if self.with_sam:
+            s = self.sam_features(x)
+            in_dim = (
+                s.shape[-1] + GEOM_FEAT_DIM + SH_DIM + 4
+                if self.sam_use_view_direction
+                else s.shape[-1] + GEOM_FEAT_DIM + 4
+            )
+            _ = self.apply_samvit_mlp(jnp.zeros((*x.shape[:-1], in_dim)))
+        if self.with_mask:
+            m = self.mask_features(x)
+            if self.mask_mlp_type == "default":
+                _ = self.apply_mask_mlp(jnp.concatenate([m, feat], axis=-1))
+            else:
+                _ = self.apply_mask_mlp(jnp.concatenate([m, color], axis=-1))
+        return {"sigma": sigma, "geo_feat": feat, "color": color,
+                "grid_output": raw}
+
+
+def make_field(field_type: str = "hashgrid", **kw):
+    """Factory: 'hashgrid' (reference parity) | 'mlp' (TPU flagship)."""
+    from .fields import SANeRFField
+
+    if field_type == "hashgrid":
+        allowed = {"grid_bound", "with_sam", "with_mask", "mask_mlp_type",
+                   "n_inst", "sam_use_view_direction", "main_spec",
+                   "feat_spec", "prop_spec_0", "prop_spec_1"}
+        return SANeRFField(**{k: v for k, v in kw.items() if k in allowed})
+    if field_type == "mlp":
+        allowed = {"grid_bound", "with_sam", "with_mask", "mask_mlp_type",
+                   "n_inst", "sam_use_view_direction", "hidden", "num_layers",
+                   "freq_degree", "prop_hidden", "prop_layers",
+                   "prop_freq_degree", "feat_spec"}
+        return MLPField(**{k: v for k, v in kw.items() if k in allowed})
+    raise ValueError(f"unknown field_type {field_type}")

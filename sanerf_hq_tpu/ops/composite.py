@@ -55,8 +55,10 @@ def distort_loss(bins, weights):
 
 
 def _searchsorted_right(sorted_rows, query_rows):
-    return jax.vmap(lambda a, q: jnp.searchsorted(a, q, side="right"))(
-        sorted_rows, query_rows
+    # vectorized compare-and-count; see ops/ray.py for the TPU rationale
+    return jnp.sum(
+        (sorted_rows[:, None, :] <= query_rows[:, :, None]).astype(jnp.int32),
+        axis=-1,
     )
 
 
@@ -74,8 +76,12 @@ def loss_interlevel(t0, w0, t1, w1):
     )
     inds_lo = jnp.clip(_searchsorted_right(t1[..., :-1], t0[..., :-1]) - 1, 0, T1 - 1)
     inds_hi = jnp.clip(_searchsorted_right(t1[..., 1:], t0[..., 1:]), 0, T1 - 1)
-    cw1_lo = jnp.take_along_axis(cw1[..., :-1], inds_lo, axis=-1)
-    cw1_hi = jnp.take_along_axis(cw1[..., 1:], inds_hi, axis=-1)
+    # one-hot masked-sum lookup instead of take_along_axis (see ops/ray.py)
+    iota = jnp.arange(T1, dtype=jnp.int32)
+    oh_lo = inds_lo[..., None] == iota
+    oh_hi = inds_hi[..., None] == iota
+    cw1_lo = jnp.sum(jnp.where(oh_lo, cw1[:, None, :-1], 0.0), axis=-1)
+    cw1_hi = jnp.sum(jnp.where(oh_hi, cw1[:, None, 1:], 0.0), axis=-1)
     w = cw1_hi - cw1_lo
     return jnp.maximum(w0 - w, 0.0) ** 2 / (w0 + 1e-8)
 

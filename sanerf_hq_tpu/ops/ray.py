@@ -38,9 +38,15 @@ def spacing_fn_inv(s):
 
 
 def _searchsorted_right(sorted_rows, query_rows):
-    """Row-wise searchsorted(side='right') for [N, K] sorted x [N, Q] queries."""
-    return jax.vmap(lambda a, q: jnp.searchsorted(a, q, side="right"))(
-        sorted_rows, query_rows
+    """Row-wise searchsorted(side='right') for [N, K] sorted x [N, Q] queries.
+
+    TPU-first: a vectorized compare-and-count (sum over K of a[k] <= q)
+    instead of vmapped binary search — binary search lowers to serial
+    dynamic-slices on TPU (catastrophic compile + run time), while the
+    O(K*Q) compare fuses into a single VPU reduction."""
+    return jnp.sum(
+        (sorted_rows[:, None, :] <= query_rows[:, :, None]).astype(jnp.int32),
+        axis=-1,
     )
 
 
@@ -69,10 +75,18 @@ def sample_pdf(bins, weights, T: int, key=None):
     below = jnp.clip(inds - 1, 0, T0)
     above = jnp.clip(inds, 0, T0)
 
-    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_g0 = jnp.take_along_axis(bins, below, axis=-1)
-    bins_g1 = jnp.take_along_axis(bins, above, axis=-1)
+    # TPU-first: row-wise gathers (take_along_axis) lower to scalar-issue XLA
+    # gathers (~180M/s — they dominated the whole render).  A one-hot batched
+    # matmul does the same lookup on the MXU in ~1% of the time.
+    # (masked sum, not einsum: dot_general's default TPU precision truncates
+    # f32 operands to bf16 which corrupts the looked-up values)
+    iota = jnp.arange(T0 + 1, dtype=jnp.int32)
+    oh_b = below[..., None] == iota  # [N, T, T0+1] bool
+    oh_a = above[..., None] == iota
+    cdf_g0 = jnp.sum(jnp.where(oh_b, cdf[:, None, :], 0.0), axis=-1)
+    bins_g0 = jnp.sum(jnp.where(oh_b, bins[:, None, :], 0.0), axis=-1)
+    cdf_g1 = jnp.sum(jnp.where(oh_a, cdf[:, None, :], 0.0), axis=-1)
+    bins_g1 = jnp.sum(jnp.where(oh_a, bins[:, None, :], 0.0), axis=-1)
 
     denom = cdf_g1 - cdf_g0
     t = jnp.where(denom > 0, (u - cdf_g0) / jnp.where(denom > 0, denom, 1.0), 0.0)

@@ -1,0 +1,255 @@
+"""Host-side training driver for the three stages.
+
+Replaces the reference's Trainer god-object (nerf/trainer.py:22-1843) with a
+thin loop around jitted steps: all hot work (ray sampling, rendering,
+losses, optimizer) is on-device; the host only schedules, logs, checkpoints
+and writes artifacts.
+
+Epoch math mirrors main.py:287-292: steps_per_epoch = number of training
+views; max_epoch = ceil(iters / steps_per_epoch); eval/save intervals
+derived from eval_cnt/save_cnt.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.provider import Scene
+from ..data.sampler import sample_rgb_batch
+from ..data.rays import full_frame_rays
+from .checkpoints import CheckpointManager, partial_load
+from .metrics import PSNRMeter
+from .state import TrainState, create_train_state, freeze_mask_from_loaded
+from .steps import make_rgb_train_step, make_eval_render
+
+
+class Logger:
+    """Rank-0 console + append-mode log file (nerf/trainer.py:164-168)."""
+
+    def __init__(self, workspace: str, name: str = "ngp"):
+        os.makedirs(workspace, exist_ok=True)
+        self.path = os.path.join(workspace, f"log_{name}.txt")
+
+    def __call__(self, *args):
+        msg = " ".join(str(a) for a in args)
+        print(msg, flush=True)
+        with open(self.path, "a") as f:
+            f.write(msg + "\n")
+
+
+class Trainer:
+    def __init__(self, name: str, cfg: Config, model, workspace: str,
+                 sam_predictor=None, use_checkpoint: str = "latest",
+                 init_params=None):
+        self.name = name
+        self.cfg = cfg
+        self.model = model
+        self.workspace = workspace
+        self.sam_predictor = sam_predictor
+        self.log = Logger(workspace, name)
+        self.ckpt = CheckpointManager(workspace, max_keep=2)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.key, init_key = jax.random.split(key)
+        params = model.init(init_key, jnp.zeros((4, 3)), jnp.ones((4, 3)))
+
+        freeze_mask = None
+        if init_params is not None:
+            # cross-stage hand-off: load stage-1 weights, freeze them by
+            # membership (main.py:249-256)
+            params, loaded_keys = partial_load(params, init_params)
+            freeze_mask = freeze_mask_from_loaded(params, init_params)
+            self.log(f"[INFO] loaded {len(loaded_keys)} param tensors from "
+                     f"init checkpoint (frozen)")
+
+        self.state = create_train_state(
+            params, base_lr=cfg.lr, total_iters=cfg.iters,
+            freeze_mask=freeze_mask,
+        )
+
+        # resume
+        if use_checkpoint == "latest":
+            restored = self.ckpt.restore("latest", self._state_tree())
+            if restored is not None:
+                self._load_state_tree(restored)
+                self.log(f"[INFO] resumed at step {int(self.state.step)}")
+
+        self.train_step = make_rgb_train_step(model, cfg, donate=False)
+        self.eval_render = make_eval_render(model, cfg)
+        self._full_step = None
+        self.best_metric = -np.inf
+        self.stats = {"loss": [], "psnr": []}
+
+    # -- state (de)serialization ------------------------------------------
+    def _state_tree(self):
+        return {
+            "step": self.state.step,
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "ema_params": self.state.ema_params,
+        }
+
+    def _load_state_tree(self, tree):
+        self.state = self.state.replace(
+            step=jnp.asarray(tree["step"]),
+            params=tree["params"],
+            opt_state=tree["opt_state"],
+            ema_params=tree["ema_params"],
+        )
+
+    # -- stage 1 -----------------------------------------------------------
+    def train(self, scene: Scene, val_scene: Optional[Scene] = None,
+              max_epoch: Optional[int] = None):
+        cfg = self.cfg
+        images = jnp.asarray(scene.images)
+        poses = jnp.asarray(scene.poses)
+        intr = jnp.asarray(
+            scene.intrinsics[0] if scene.intrinsics.ndim == 2 else scene.intrinsics
+        )
+        n_views = scene.poses.shape[0]
+        steps_per_epoch = n_views
+        if max_epoch is None:
+            max_epoch = int(np.ceil(cfg.iters / steps_per_epoch))
+        eval_interval = max(1, max_epoch // max(1, cfg.eval_cnt))
+        save_interval = max(1, max_epoch // max(1, cfg.save_cnt))
+        self.log(f"[INFO] max_epoch {max_epoch}, eval every {eval_interval}, "
+                 f"save every {save_interval}")
+
+        if self._full_step is None:
+            train_step = self.train_step
+
+            @jax.jit
+            def full_step(state, key):
+                kb, kr = jax.random.split(key)
+                batch = sample_rgb_batch(
+                    kb, images, poses, intr, cfg.num_rays,
+                    random_image_batch=cfg.random_image_batch,
+                )
+                batch["step"] = state.step
+                return train_step(state, batch, kr)
+
+            self._full_step = full_step
+
+        t_start = time.time()
+        step0 = int(self.state.step)
+        for epoch in range(1, max_epoch + 1):
+            losses = []
+            for _ in range(steps_per_epoch):
+                if int(self.state.step) >= cfg.iters:
+                    break
+                self.key, sub = jax.random.split(self.key)
+                self.state, metrics = self._full_step(self.state, sub)
+                losses.append(metrics)
+            if losses:
+                loss = float(jax.device_get(losses[-1]["loss"]))
+                psnr = float(jax.device_get(losses[-1]["psnr"]))
+                self.log(f"[epoch {epoch}/{max_epoch}] step {int(self.state.step)} "
+                         f"loss={loss:.5f} train_psnr={psnr:.2f} "
+                         f"lr={self._lr():.5f}")
+                self.stats["loss"].append(loss)
+            # EMA per epoch (nerf/trainer.py:1522)
+            self.state = self.state.update_ema()
+            if epoch % save_interval == 0 or epoch == max_epoch:
+                self.ckpt.save(int(self.state.step), self._state_tree())
+            if val_scene is not None and (epoch % eval_interval == 0
+                                          or epoch == max_epoch):
+                score = self.evaluate(val_scene, save_dir=None)
+                if score > self.best_metric:
+                    self.best_metric = score
+                    self.ckpt.save(int(self.state.step), self._state_tree(),
+                                   best=True)
+            if int(self.state.step) >= cfg.iters:
+                break
+        dt = (time.time() - t_start) / 60
+        nsteps = int(self.state.step) - step0
+        self.log(f"[INFO] training took {dt:.2f} min "
+                 f"({nsteps / max(dt * 60, 1e-9):.1f} steps/s)")
+
+    def _lr(self):
+        frac = min(int(self.state.step) / self.cfg.iters, 1.0)
+        return self.cfg.lr * 0.1 ** frac
+
+    # -- eval / test --------------------------------------------------------
+    def render_view(self, pose, intrinsics, H, W, params=None,
+                    cam_near_far=None):
+        ro, rd = full_frame_rays(jnp.asarray(pose), jnp.asarray(intrinsics),
+                                 H, W)
+        cnf = None
+        if cam_near_far is not None:
+            cnf = jnp.asarray(cam_near_far).reshape(1, 2)
+        out = self.eval_render(
+            params if params is not None else self.state.ema_params,
+            ro, rd, cam_near_far=cnf,
+        )
+        return {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
+
+    def evaluate(self, scene: Scene, meters=None, save_dir: Optional[str] = None,
+                 use_ema: bool = True, max_views: Optional[int] = None) -> float:
+        meters = meters or [PSNRMeter()]
+        params = self.state.ema_params if use_ema else self.state.params
+        n = scene.poses.shape[0] if max_views is None else min(
+            max_views, scene.poses.shape[0])
+        for i in range(n):
+            intr = (scene.intrinsics[i] if scene.intrinsics.ndim == 2
+                    else scene.intrinsics)
+            cnf = (scene.cam_near_far[i] if scene.cam_near_far is not None
+                   else None)
+            out = self.render_view(scene.poses[i], intr, scene.H, scene.W,
+                                   params=params, cam_near_far=cnf)
+            pred = out["image"].reshape(scene.H, scene.W, 3)
+            if scene.images is not None:
+                gt = scene.images[i][..., :3]
+                for m in meters:
+                    m.update(pred, gt)
+            if save_dir is not None:
+                os.makedirs(save_dir, exist_ok=True)
+                _save_image(os.path.join(save_dir, f"{i:04d}_rgb.png"), pred)
+                np.save(os.path.join(save_dir, f"{i:04d}_depth.npy"),
+                        out["depth"].reshape(scene.H, scene.W))
+        for m in meters:
+            self.log("[EVAL] " + m.report())
+        return meters[0].measure() if meters else 0.0
+
+    def test(self, scene: Scene, save_dir: Optional[str] = None,
+             write_video: bool = False):
+        save_dir = save_dir or os.path.join(self.workspace, "results")
+        os.makedirs(save_dir, exist_ok=True)
+        frames = []
+        for i in range(scene.poses.shape[0]):
+            intr = (scene.intrinsics[i] if scene.intrinsics.ndim == 2
+                    else scene.intrinsics)
+            out = self.render_view(scene.poses[i], intr, scene.H, scene.W)
+            pred = out["image"].reshape(scene.H, scene.W, 3)
+            name = (scene.img_names[i] if scene.img_names is not None
+                    else f"{i:04d}")
+            stem = os.path.splitext(str(name))[0]
+            _save_image(os.path.join(save_dir, f"{stem}_rgb.png"), pred)
+            np.save(os.path.join(save_dir, f"{stem}_depth.npy"),
+                    out["depth"].reshape(scene.H, scene.W))
+            if write_video:
+                frames.append((pred * 255).astype(np.uint8))
+        if write_video and frames:
+            _write_video(os.path.join(save_dir, "video.mp4"), frames)
+        self.log(f"[INFO] test results saved to {save_dir}")
+
+
+def _save_image(path: str, img: np.ndarray):
+    import cv2
+
+    img8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    cv2.imwrite(path, cv2.cvtColor(img8, cv2.COLOR_RGB2BGR))
+
+
+def _write_video(path: str, frames, fps: int = 24):
+    try:
+        import imageio
+
+        imageio.mimwrite(path, frames, fps=fps, quality=8)
+    except Exception as e:  # imageio-ffmpeg may be missing
+        print(f"[WARN] video write failed ({e}); saving frames only")
