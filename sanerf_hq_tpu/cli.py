@@ -1,0 +1,288 @@
+"""CLI preserving the reference surface: `python main.py <path> [flags]`
+(reference: main.py:16-327).  Parses the same flag set into a frozen
+Config, applies the same post-parse hard overrides, builds the model,
+dataset and trainer, and dispatches to train / test / decode per stage.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+from .config import Config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("path", type=str)
+    p.add_argument("--workspace", type=str, default="workspace")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt", type=str, default="latest")
+    p.add_argument("--fp16", action="store_true")
+
+    # SAM feature options
+    p.add_argument("--with_sam", action="store_true")
+    p.add_argument("--sam_type", type=str, default="sam",
+                   choices=["sam", "sam_hq"])
+    p.add_argument("--init_ckpt", type=str, default="")
+    p.add_argument("--sam_ckpt", type=str,
+                   default="./pretrained/sam_vit_h_4b8939.pth")
+    p.add_argument("--online_resolution", type=int, default=512)
+    p.add_argument("--sam_use_view_direction", action="store_true")
+    p.add_argument("--sum_after_mlp", action="store_true")
+    p.add_argument("--cache_size", type=int, default=256)
+    p.add_argument("--cache_interval", type=int, default=4)
+    p.add_argument("--feature_container", type=str, default="cache",
+                   choices=["cache", "distill"])
+
+    # testing
+    p.add_argument("--save_cnt", type=int, default=20)
+    p.add_argument("--eval_cnt", type=int, default=5)
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--camera_traj", type=str, default="interp")
+
+    # dataset
+    p.add_argument("--train_split", type=str, default="train",
+                   choices=["train", "trainval", "all"])
+    p.add_argument("--test_split", type=str, default="val",
+                   choices=["train", "val", "test"])
+    p.add_argument("--preload", action="store_true")
+    p.add_argument("--random_image_batch", action="store_true")
+    p.add_argument("--downscale", type=int, default=1)
+    p.add_argument("--bound", type=float, default=2)
+    p.add_argument("--scale", type=float, default=-1)
+    p.add_argument("--offset", type=float, nargs="*", default=[0, 0, 0])
+    p.add_argument("--enable_cam_near_far", action="store_true")
+    p.add_argument("--enable_cam_center", action="store_true")
+    p.add_argument("--min_near", type=float, default=0.2)
+    p.add_argument("--T_thresh", type=float, default=1e-4)
+
+    # training
+    p.add_argument("--iters", type=int, default=20000)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--num_steps", type=int, nargs="*", default=[128, 64, 32])
+    p.add_argument("--contract", action="store_true")
+    p.add_argument("--background", type=str, default="last_sample",
+                   choices=["white", "random", "last_sample"])
+    p.add_argument("--max_ray_batch", type=int, default=4096 * 4)
+    p.add_argument("--density_thresh", type=float, default=10)
+    p.add_argument("--num_rays", type=int, default=4096)
+    p.add_argument("--adaptive_num_rays", action="store_true")
+    p.add_argument("--num_points", type=int, default=2 ** 18)
+
+    # regularizers
+    p.add_argument("--lambda_entropy", type=float, default=0)
+    p.add_argument("--lambda_tv", type=float, default=0)
+    p.add_argument("--lambda_wd", type=float, default=0)
+    p.add_argument("--lambda_proposal", type=float, default=1)
+    p.add_argument("--lambda_distort", type=float, default=0.02)
+
+    # mask stage
+    p.add_argument("--with_mask", action="store_true")
+    p.add_argument("--mask_mlp_type", type=str, default="default",
+                   choices=["default", "lightweight_mask"])
+    p.add_argument("--mask_root", type=str, default=None)
+    p.add_argument("--test_view_path", type=str, default=None)
+    p.add_argument("--n_inst", type=int, default=2)
+    p.add_argument("--label_regularization_weight", type=float, default=0.0)
+    p.add_argument("--ray_jittering", action="store_true")
+
+    # ray-pair RGB loss
+    p.add_argument("--ray_pair_rgb_loss_weight", type=float, default=0)
+    p.add_argument("--ray_pair_rgb_threshold", type=float, default=0.3)
+    p.add_argument("--epsilon", type=float, default=1e-6)
+    p.add_argument("--ray_pair_rgb_exp_weight", type=float, default=10)
+    p.add_argument("--ray_pair_rgb_num_sample", type=int, default=1)
+    p.add_argument("--ray_pair_rgb_iter", type=int, default=-1)
+    p.add_argument("--ray_pair_rgb_use_pred_logistics", action="store_true")
+    p.add_argument("--mixed_sampling", action="store_true")
+    p.add_argument("--local_sample_patch_size", type=int, default=16)
+    p.add_argument("--num_local_sample", type=int, default=2)
+    p.add_argument("--error_map", action="store_true")
+    p.add_argument("--error_map_size", type=int, default=128)
+    p.add_argument("--return_extra", action="store_true")
+
+    # decode / eval
+    p.add_argument("--decode", action="store_true")
+    p.add_argument("--point_file", default=None, type=str)
+    p.add_argument("--use_point", action="store_true")
+    p.add_argument("--use_default_intrinsics", action="store_true")
+    p.add_argument("--use_default_focal_length", action="store_true")
+    p.add_argument("--use_gt_focal_length", action="store_true")
+    p.add_argument("--val_type", type=str, default="default",
+                   choices=["default", "val_all", "val_split"])
+    p.add_argument("--render_mask_type", type=str, default="heatmap",
+                   choices=["mask", "composition", "heatmap"])
+    p.add_argument("--render_mask_instance_id", type=int, default=0)
+    p.add_argument("--val_save_root", type=str, default=None)
+    p.add_argument("--auto_seg", action="store_true")
+
+    # GUI
+    p.add_argument("--vis_pose", action="store_true")
+    p.add_argument("--gui", action="store_true")
+    p.add_argument("--W", type=int, default=512)
+    p.add_argument("--H", type=int, default=512)
+    p.add_argument("--radius", type=float, default=0.5)
+    p.add_argument("--fovy", type=float, default=60)
+    p.add_argument("--max_spp", type=int, default=1)
+
+    # dataset type
+    p.add_argument("--data_type", type=str, default="mip",
+                   choices=["mip", "lerf", "llff", "3dfront", "ctr", "pano",
+                            "others"])
+    p.add_argument("--scene_name", type=str, default="garden")
+    p.add_argument("--object_name", type=str, default="table_whole")
+    p.add_argument("--gui_mouse_right_drag", action="store_true")
+    p.add_argument("--trajectory_root", type=str, default=None)
+    p.add_argument("--render_trajectory", action="store_true")
+    p.add_argument("--circle", action="store_true")
+
+    # TPU-native additions
+    p.add_argument("--field_type", type=str, default="hashgrid",
+                   choices=["hashgrid", "mlp"])
+    return p
+
+
+def config_from_args(args) -> Config:
+    cfg_fields = {f.name for f in dataclasses.fields(Config)}
+    kw = {k: v for k, v in vars(args).items() if k in cfg_fields}
+    kw["num_steps"] = tuple(args.num_steps)
+    kw["offset"] = tuple(args.offset)
+    cfg = Config(**kw)
+    # post-parse hard overrides (main.py:217-222)
+    return cfg.replace(fp16=False, bound=128.0, preload=True, contract=True,
+                       adaptive_num_rays=True)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    from .data.provider import load_scene, split_indices, load_object_masks
+    from .models import make_field
+    from .train.trainer import Trainer
+    from .train import stages, metrics as M
+
+    model = make_field(
+        cfg.field_type,
+        grid_bound=cfg.grid_bound,
+        with_sam=cfg.with_sam,
+        with_mask=cfg.with_mask,
+        mask_mlp_type=cfg.mask_mlp_type,
+        n_inst=cfg.n_inst,
+        sam_use_view_direction=cfg.sam_use_view_direction,
+    )
+
+    scene = load_scene(
+        cfg.path, cfg.data_type, cfg.downscale, cfg.scale, cfg.offset,
+        cfg.enable_cam_center, cfg.bound,
+    )
+
+    test_view_names = None
+    if cfg.test_view_path:
+        import json
+
+        with open(cfg.test_view_path) as f:
+            test_view_names = json.load(f)
+        if isinstance(test_view_names, dict):
+            test_view_names = test_view_names.get("test_views", [])
+
+    def subset(scene, idx):
+        import copy
+
+        s = copy.copy(scene)
+        s.images = scene.images[idx] if scene.images is not None else None
+        s.poses = scene.poses[idx]
+        s.intrinsics = (scene.intrinsics[idx]
+                        if scene.intrinsics.ndim == 2 else scene.intrinsics)
+        s.img_names = scene.img_names[idx]
+        if scene.cam_near_far is not None:
+            s.cam_near_far = scene.cam_near_far[idx]
+        if scene.masks is not None:
+            s.masks = scene.masks[idx]
+        return s
+
+    if cfg.with_mask and cfg.mask_root:
+        scene.masks = load_object_masks(cfg.mask_root, scene.img_names,
+                                        scene.H, scene.W)
+
+    init_params = None
+    if (cfg.with_sam or cfg.with_mask) and cfg.init_ckpt:
+        from .train.checkpoints import CheckpointManager
+
+        restored = CheckpointManager(
+            os.path.dirname(os.path.dirname(cfg.init_ckpt))
+            if cfg.init_ckpt.endswith("checkpoints") else cfg.init_ckpt
+        ).restore("latest")
+        if restored is None:
+            import orbax.checkpoint as ocp
+
+            restored = ocp.StandardCheckpointer().restore(cfg.init_ckpt)
+        init_params = restored["params"] if "params" in restored else restored
+
+    trainer = Trainer("ngp", cfg, model, cfg.workspace,
+                      use_checkpoint=cfg.ckpt, init_params=init_params)
+
+    sam_predictor = None
+    if cfg.with_sam or (cfg.decode and cfg.use_point):
+        from .sam import build_sam, SamPredictor
+
+        ckpt = cfg.sam_ckpt if os.path.exists(cfg.sam_ckpt) else None
+        sam = build_sam("vit_h", checkpoint=ckpt, hq=(cfg.sam_type == "sam_hq"))
+        sam_predictor = SamPredictor(sam)
+        if ckpt is None:
+            trainer.log(f"[WARN] SAM checkpoint {cfg.sam_ckpt} not found; "
+                        "using random weights")
+
+    n = scene.poses.shape[0]
+    train_idx = split_indices(n, cfg.train_split, cfg.val_type,
+                              test_view_names, scene.img_names)
+    val_type = ("val_all" if cfg.with_sam and cfg.feature_container == "cache"
+                else cfg.val_type)
+    val_idx = split_indices(n, cfg.test_split, val_type, test_view_names,
+                            scene.img_names)
+    train_scene = subset(scene, train_idx)
+    val_scene = subset(scene, val_idx)
+
+    if cfg.test:
+        if cfg.decode:
+            from .utils.points import load_point_file
+
+            prompts = load_point_file(cfg.point_file)
+            stages.decode(trainer, val_scene, sam_predictor, prompts,
+                          feature_container=cfg.feature_container)
+        elif cfg.with_mask:
+            stages.evaluate_masks(
+                trainer, val_scene,
+                save_dir=os.path.join(cfg.workspace, "results"),
+                render_mask_type=cfg.render_mask_type,
+            )
+        else:
+            trainer.test(val_scene, write_video=False)
+        return trainer
+
+    # train
+    if cfg.with_sam:
+        if cfg.feature_container == "cache":
+            stages.store_sam_features(trainer, val_scene, sam_predictor)
+        else:
+            stages.train_sam_distill(trainer, train_scene, sam_predictor)
+    elif cfg.with_mask:
+        stages.train_mask(trainer, train_scene)
+        stages.evaluate_masks(trainer, val_scene)
+    else:
+        trainer.train(train_scene, val_scene)
+        meters = [M.PSNRMeter(), M.SSIMMeter()]
+        lp = M.LPIPSMeter()
+        if lp.available:
+            meters.append(lp)
+        trainer.evaluate(val_scene, meters=meters,
+                         save_dir=os.path.join(cfg.workspace, "validation"))
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

@@ -99,6 +99,213 @@ def make_rgb_train_step(model, cfg: Config, donate: bool = True):
     return train_step
 
 
+def make_sam_distill_step(model, cfg: Config):
+    """Stage-2 distillation step (nerf/trainer.py:507-555, distill branch):
+    render the 64x64 feature map from the s_grid field and regress it onto
+    the HQ-SAM encoder's ground-truth features with MSE.
+
+    batch: rays_o_lr / rays_d_lr [h*w, 3], gt_samvit [gh, gw, 256],
+    optional cam_near_far.  NeRF backbone params are frozen via the
+    optimizer freeze mask (main.py:249-256)."""
+    settings = RenderSettings(
+        num_steps=tuple(cfg.num_steps),
+        use_contract=cfg.contract,
+        min_near=cfg.min_near,
+        background=cfg.background,
+        bound=cfg.bound,
+        perturb=False,
+        training=True,
+        compute_losses=False,
+        return_feats=True,
+        sam_use_view_direction=cfg.sam_use_view_direction,
+    )
+
+    def loss_fn(params, batch, key):
+        out = _render_apply(
+            model, params, batch["rays_o_lr"], batch["rays_d_lr"], settings,
+            key=None, bg_color=1.0, cam_near_far=batch.get("cam_near_far"),
+            update_proposal=False,
+        )
+        h, w = batch["h"], batch["w"]
+        pred = out["samvit"].reshape(h, w, -1)  # [h, w, 256]
+        gt = batch["gt_samvit"]  # [gh, gw, 256]
+        if pred.shape[:2] != gt.shape[:2]:
+            pred = jax.image.resize(pred, (*gt.shape[:2], pred.shape[-1]),
+                                    method="bilinear")
+        loss = jnp.mean((pred - gt) ** 2)
+        return loss, {"loss": loss, "mse": loss}
+
+    @jax.jit
+    def distill_step(state: TrainState, batch, key):
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params, batch, key)
+        return state.apply_gradients(grads), metrics
+
+    return distill_step
+
+
+def _cosine_similarity(a, b, axis=-1, eps=1e-8):
+    na = jnp.linalg.norm(a, axis=axis)
+    nb = jnp.linalg.norm(b, axis=axis)
+    return jnp.sum(a * b, axis=axis) / jnp.maximum(na * nb, eps)
+
+
+def ray_pair_rgb_loss(key, rgb, inst_masks, incoherent, cfg: Config,
+                      use_pred_logistics: bool = False):
+    """Functional port of the ray-pair RGB loss (nerf/trainer.py:259-305).
+
+    rgb / inst_masks: [P, S, C] per local patch; incoherent: [P, S] error-map
+    values.  Anchor pixels are sampled (without replacement, Gumbel top-k)
+    where the error map is coherent (1-err > 0.8); rays whose RGB is within
+    ray_pair_rgb_threshold of an anchor are pushed toward the anchor's
+    (argmax one-hot) mask distribution via exp(-w * cos_sim)."""
+    P, S, _ = rgb.shape
+    ns = cfg.ray_pair_rgb_num_sample
+    weights = (1.0 - incoherent > 0.8).astype(jnp.float32)  # [P, S]
+    invalid = jnp.sum(weights, axis=-1, keepdims=True) == 0
+    weights = jnp.where(invalid, 1.0, weights)
+
+    g = jnp.log(jnp.maximum(weights, 1e-12)) + jax.random.gumbel(key, (P, S))
+    _, sample_idx = jax.lax.top_k(g, ns)  # [P, ns]
+
+    take = lambda arr: jnp.take_along_axis(
+        arr, sample_idx[..., None], axis=1
+    )  # [P, ns, C] — ns is tiny so the gather is cheap
+    rgb_s = take(rgb)[:, :, None, :]            # [P, ns, 1, 3]
+    mask_s = jax.lax.stop_gradient(take(inst_masks))[:, :, None, :]
+    if not use_pred_logistics:
+        arg = jnp.argmax(mask_s, axis=-1, keepdims=True)
+        mask_s = (jnp.arange(mask_s.shape[-1]) == arg).astype(mask_s.dtype)
+
+    rgb_b = rgb[:, None, :, :]                   # [P, 1, S, 3]
+    inst_b = inst_masks[:, None, :, :]           # [P, 1, S, C]
+    color_dist = jnp.linalg.norm(rgb_b - rgb_s, axis=-1)  # [P, ns, S]
+    similar = color_dist < cfg.ray_pair_rgb_threshold
+
+    cos = _cosine_similarity(inst_b, mask_s)     # [P, ns, S]
+    pred_sim = jnp.exp(-cfg.ray_pair_rgb_exp_weight * cos - cfg.epsilon)
+    num = jnp.sum(similar * pred_sim, axis=-1)
+    den = jnp.maximum(jnp.sum(similar, axis=-1), 1)
+    return jnp.mean(num / den)
+
+
+def label_regularization(depth, pred_masks, patch_size: int, n_inst: int):
+    """Depth-weighted spatial smoothness on patch logits
+    (nerf/trainer.py:307-334)."""
+    pm = pred_masks.reshape(-1, patch_size, patch_size, n_inst)
+    d = depth.reshape(-1, patch_size, patch_size)
+    diff_x = pm[:, :, 1:] - pm[:, :, :-1]
+    diff_y = pm[:, 1:, :] - pm[:, :-1, :]
+    ddx = d[:, :, 1:] - d[:, :, :-1]
+    ddy = d[:, 1:, :] - d[:, :-1, :]
+    wx = jnp.exp(-(ddx * ddx))[..., None]
+    wy = jnp.exp(-(ddy * ddy))[..., None]
+    wx_b = jnp.broadcast_to(wx, diff_x.shape)
+    wy_b = jnp.broadcast_to(wy, diff_y.shape)
+    return (
+        jnp.sum(diff_x ** 2 * wx_b) / jnp.sum(wx_b)
+        + jnp.sum(diff_y ** 2 * wy_b) / jnp.sum(wy_b)
+    )
+
+
+def make_mask_train_step(model, cfg: Config):
+    """Stage-3 object-field step (nerf/trainer.py:401-505).
+
+    batch keys:
+      rays_o/rays_d [Ng+Nl, 3]   global rays then local patch rays
+      gt_masks     [Ng+Nl]       int labels (-1 = unlabeled)
+      img_inds     [Ng]          view index per global ray
+      inds_coarse  [Ng]          error-map cell per global ray
+      local_error  [Nl]          error-map values of the local rays
+      step                       global step (gates ray-pair loss)
+      error_map    [V, S*S]      functional error-map state (returned updated)
+    Local rays are ALWAYS present (static shapes); the ray-pair loss is
+    gated by step > ray_pair_rgb_iter as a traced multiplier."""
+    settings = RenderSettings(
+        num_steps=tuple(cfg.num_steps),
+        use_contract=cfg.contract,
+        min_near=cfg.min_near,
+        background=cfg.background,
+        bound=cfg.bound,
+        perturb=False,
+        training=True,
+        compute_losses=False,
+        return_mask=True,
+    )
+    Ng = cfg.num_rays
+    Nl = cfg.num_local_sample * cfg.local_sample_patch_size ** 2
+    eps = cfg.epsilon
+
+    def loss_fn(params, batch, key, error_map):
+        out = _render_apply(
+            model, params, batch["rays_o"], batch["rays_d"], settings,
+            key=None, bg_color=1.0, cam_near_far=batch.get("cam_near_far"),
+            update_proposal=False,
+        )
+        logits = out["instance_mask_logits"]  # [Ng+Nl, n_inst]
+        gt = batch["gt_masks"]
+        probs = jnp.clip(jax.nn.softmax(logits, axis=-1), eps, 1 - eps)
+
+        # CE over the labeled global rays (nerf/trainer.py:419-428)
+        g_probs = probs[:Ng]
+        g_gt = gt[:Ng]
+        labeled = (g_gt != -1).astype(jnp.float32)
+        safe_gt = jnp.maximum(g_gt, 0)
+        picked = jnp.take_along_axis(g_probs, safe_gt[:, None], axis=-1)[:, 0]
+        ce = -jnp.log(picked) * labeled
+        any_labeled = jnp.sum(labeled) > 0
+        loss = jnp.where(any_labeled,
+                         jnp.sum(ce) / jnp.maximum(jnp.sum(labeled), 1.0), 0.0)
+
+        # error-map EMA update (nerf/trainer.py:434-464)
+        onehot_gt = (jnp.arange(probs.shape[-1]) == safe_gt[:, None]).astype(
+            jnp.float32)
+        cos = _cosine_similarity(probs[:Ng], onehot_gt)
+        err = jnp.exp(-cfg.ray_pair_rgb_exp_weight * cos - eps)
+        old = error_map[batch["img_inds"], batch["inds_coarse"]]
+        new_error_map = error_map.at[
+            batch["img_inds"], batch["inds_coarse"]
+        ].set(0.1 * old + 0.9 * err)
+
+        metrics = {"ce": loss}
+        if cfg.label_regularization_weight > 0:
+            lr_loss = label_regularization(
+                jax.lax.stop_gradient(out["depth"][Ng:]), probs[Ng:],
+                cfg.local_sample_patch_size, cfg.n_inst,
+            )
+            loss = loss + cfg.label_regularization_weight * lr_loss
+            metrics["label_reg"] = lr_loss
+
+        if cfg.ray_pair_rgb_loss_weight > 0 and Nl > 0:
+            P, S = cfg.num_local_sample, cfg.local_sample_patch_size ** 2
+            rp = ray_pair_rgb_loss(
+                key,
+                jax.lax.stop_gradient(out["image"][Ng:]).reshape(P, S, -1),
+                probs[Ng:].reshape(P, S, -1),
+                batch["local_error"].reshape(P, S),
+                cfg,
+                use_pred_logistics=cfg.ray_pair_rgb_use_pred_logistics,
+            )
+            gate = (batch["step"] > cfg.ray_pair_rgb_iter).astype(jnp.float32)
+            loss = loss + cfg.ray_pair_rgb_loss_weight * gate * rp
+            metrics["ray_pair"] = rp
+
+        metrics["loss"] = loss
+        pred_labels = jnp.argmax(probs, axis=-1)
+        acc = jnp.sum((pred_labels[:Ng] == g_gt) * labeled) / jnp.maximum(
+            jnp.sum(labeled), 1.0)
+        metrics["acc"] = acc
+        return loss, (metrics, new_error_map)
+
+    @jax.jit
+    def mask_step(state: TrainState, batch, key, error_map):
+        grads, (metrics, new_error_map) = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, key, error_map
+        )
+        return state.apply_gradients(grads), metrics, new_error_map
+
+    return mask_step
+
+
 def make_eval_render(model, cfg: Config, return_feats: bool = False,
                      return_mask: bool = False):
     """Staged full-frame render for eval/test (chunked, no perturb)."""
