@@ -1,0 +1,114 @@
+"""GUI-shaped interactive API: render-one-frame + incremental training.
+
+The reference ships a dearpygui desktop viewer (nerf/gui.py) driving
+Trainer.train_gui / test_gui (nerf/trainer.py:1194-1328).  On a headless
+TPU pod the equivalent is this API: an OrbitCamera with the same
+pose/intrinsics math, `test_gui`-shaped render_frame (arbitrary pose,
+downscale factor), and `train_gui`-shaped train_ticks (N steps between
+frames).  A web/notebook front-end can drive it directly.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+
+class OrbitCamera:
+    """Same math as nerf/gui.py:10-70: orbit/pan/scale around a center."""
+
+    def __init__(self, W: int, H: int, r: float = 2.0, fovy: float = 60.0):
+        self.W = W
+        self.H = H
+        self.radius = r
+        self.fovy = fovy
+        self.center = np.zeros(3, np.float32)
+        # rotation stored as 3x3 (reference uses scipy Rotation)
+        self.rot = np.eye(3, dtype=np.float32)
+        self.up = np.array([0, 1, 0], np.float32)
+
+    @property
+    def pose(self) -> np.ndarray:
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = self.rot
+        pose[:3, 3] = self.rot @ np.array([0, 0, self.radius], np.float32) \
+            + self.center
+        return pose
+
+    @property
+    def intrinsics(self) -> np.ndarray:
+        focal = self.H / (2 * np.tan(np.deg2rad(self.fovy) / 2))
+        return np.array([focal, focal, self.W // 2, self.H // 2], np.float32)
+
+    def orbit(self, dx: float, dy: float):
+        def rotmat(axis, angle):
+            axis = axis / np.linalg.norm(axis)
+            K = np.array([[0, -axis[2], axis[1]],
+                          [axis[2], 0, -axis[0]],
+                          [-axis[1], axis[0], 0]])
+            return (np.eye(3) + np.sin(angle) * K
+                    + (1 - np.cos(angle)) * K @ K).astype(np.float32)
+
+        side = self.rot[:, 0]
+        self.rot = rotmat(self.up, -dx * 0.005) @ rotmat(side, -dy * 0.005) \
+            @ self.rot
+
+    def scale(self, delta: float):
+        self.radius *= 1.1 ** (-delta)
+
+    def pan(self, dx: float, dy: float, dz: float = 0.0):
+        self.center += 0.0005 * self.rot @ np.array([dx, dy, dz], np.float32)
+
+
+class InteractiveSession:
+    """train_gui/test_gui equivalent driving a Trainer."""
+
+    def __init__(self, trainer, scene=None, W: int = 512, H: int = 512,
+                 fovy: float = 60.0, radius: float = 2.0):
+        self.trainer = trainer
+        self.scene = scene
+        self.camera = OrbitCamera(W, H, r=radius, fovy=fovy)
+        self._train_steps = 16  # dynamic, targets ~0.5s per tick (gui.py:112-134)
+
+    def render_frame(self, pose: Optional[np.ndarray] = None,
+                     downscale: int = 1) -> dict:
+        """test_gui-shaped: render one frame at W/downscale x H/downscale."""
+        cam = self.camera
+        pose = pose if pose is not None else cam.pose
+        H, W = cam.H // downscale, cam.W // downscale
+        intr = cam.intrinsics / downscale
+        intr[2], intr[3] = W / 2, H / 2
+        t0 = time.perf_counter()
+        out = self.trainer.render_view(pose, intr, H, W)
+        dt = time.perf_counter() - t0
+        return {
+            "image": out["image"].reshape(H, W, 3),
+            "depth": out["depth"].reshape(H, W),
+            "time": dt,
+            "fps": 1.0 / max(dt, 1e-9),
+        }
+
+    def train_ticks(self, target_seconds: float = 0.5) -> dict:
+        """train_gui-shaped: run a dynamic number of train steps targeting
+        ~target_seconds of wall clock (nerf/trainer.py:1194-1247)."""
+        assert self.scene is not None, "training session needs a scene"
+        import jax
+
+        tr = self.trainer
+        if tr._full_step is None:
+            tr.train(self.scene, max_epoch=0)  # builds _full_step only
+        t0 = time.perf_counter()
+        losses = []
+        for _ in range(self._train_steps):
+            tr.key, sub = jax.random.split(tr.key)
+            tr.state, metrics = tr._full_step(tr.state, sub)
+            losses.append(metrics)
+        loss = float(losses[-1]["loss"])
+        dt = time.perf_counter() - t0
+        per_step = dt / self._train_steps
+        self._train_steps = int(np.clip(target_seconds / max(per_step, 1e-4),
+                                        1, 256))
+        return {"loss": loss, "step": int(tr.state.step), "time": dt,
+                "steps_per_sec": self._train_steps / max(dt, 1e-9)}

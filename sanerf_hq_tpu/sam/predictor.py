@@ -71,10 +71,11 @@ class SamPredictor:
         if f.ndim == 3:
             f = f[None]
         h, w = f.shape[1:3]
-        ratio = 64 / max(h, w)
+        grid = self.img_size // 16  # 64 for the standard 1024 model
+        ratio = grid / max(h, w)
         nh, nw = int(h * ratio), int(w * ratio)
         f = jax.image.resize(f, (1, nh, nw, f.shape[-1]), method="bilinear")
-        f = jnp.pad(f, ((0, 0), (0, 64 - nh), (0, 64 - nw), (0, 0)))
+        f = jnp.pad(f, ((0, 0), (0, grid - nh), (0, grid - nw), (0, 0)))
         self.features = f
         self.interm_features = interm_features
         H, W = original_size

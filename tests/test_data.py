@@ -1,0 +1,204 @@
+"""Data-layer tests: COLMAP readers (python vs native C++), pose pipeline,
+ray generation conventions, samplers, trajectory synthesis."""
+import os
+import struct
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sanerf_hq_tpu.data.colmap import (
+    read_cameras_binary,
+    read_images_binary,
+    read_points3d_binary,
+    qvec2rotmat,
+    rotmat2qvec,
+)
+from sanerf_hq_tpu.data.provider import (
+    center_poses,
+    nerf_matrix_to_ngp,
+    ngp_to_nerf_matrix,
+    split_indices,
+)
+from sanerf_hq_tpu.data.rays import full_frame_rays, rays_from_pixels
+from sanerf_hq_tpu.data.synthetic import look_at_pose
+from sanerf_hq_tpu.data.trajectory import circle_poses, interpolate_poses
+
+
+# ---------------------------------------------------------------------------
+# synthetic COLMAP binary model writer (independent of both readers)
+# ---------------------------------------------------------------------------
+
+def write_colmap_model(d):
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(0)
+    # cameras.bin: 2 cameras (PINHOLE=1: 4 params; SIMPLE_RADIAL=2: 4 params)
+    with open(os.path.join(d, "cameras.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        f.write(struct.pack("<iiQQ", 1, 1, 640, 480))
+        f.write(struct.pack("<4d", 500.0, 510.0, 320.0, 240.0))
+        f.write(struct.pack("<iiQQ", 2, 2, 640, 480))
+        f.write(struct.pack("<4d", 450.0, 320.0, 240.0, 0.01))
+    # images.bin: 3 images
+    qs, ts, names, p2ds = [], [], [], []
+    with open(os.path.join(d, "images.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 3))
+        for i in range(3):
+            q = rng.normal(size=4)
+            q /= np.linalg.norm(q)
+            t = rng.normal(size=3)
+            qs.append(q)
+            ts.append(t)
+            name = f"img_{i:03d}.jpg"
+            names.append(name)
+            f.write(struct.pack("<i", i + 1))
+            f.write(struct.pack("<4d", *q))
+            f.write(struct.pack("<3d", *t))
+            f.write(struct.pack("<i", 1 + i % 2))
+            f.write(name.encode() + b"\x00")
+            n2d = 2 + i
+            p2d = rng.uniform(0, 640, size=(n2d, 2))
+            ids = rng.integers(1, 5, size=n2d)
+            p2ds.append((p2d, ids))
+            f.write(struct.pack("<Q", n2d))
+            for (x, y), pid in zip(p2d, ids):
+                f.write(struct.pack("<ddq", x, y, int(pid)))
+    # points3D.bin: 4 points
+    with open(os.path.join(d, "points3D.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 4))
+        for i in range(4):
+            f.write(struct.pack("<Q", i + 1))
+            f.write(struct.pack("<3d", *rng.normal(size=3)))
+            f.write(struct.pack("<3B", 10, 20, 30))
+            f.write(struct.pack("<d", 0.5))
+            f.write(struct.pack("<Q", 2))
+            f.write(struct.pack("<ii", 1, 0))
+            f.write(struct.pack("<ii", 2, 1))
+    return qs, ts, names, p2ds
+
+
+def test_colmap_python_reader(tmp_path):
+    d = str(tmp_path / "sparse")
+    qs, ts, names, p2ds = write_colmap_model(d)
+    cams = read_cameras_binary(os.path.join(d, "cameras.bin"))
+    assert cams[1].model == "PINHOLE" and cams[1].width == 640
+    np.testing.assert_allclose(cams[1].params, [500, 510, 320, 240])
+    imgs = read_images_binary(os.path.join(d, "images.bin"))
+    assert len(imgs) == 3
+    for i in range(3):
+        np.testing.assert_allclose(imgs[i + 1].qvec, qs[i])
+        np.testing.assert_allclose(imgs[i + 1].tvec, ts[i])
+        assert imgs[i + 1].name == names[i]
+        np.testing.assert_allclose(imgs[i + 1].xys, p2ds[i][0])
+        np.testing.assert_array_equal(imgs[i + 1].point3D_ids, p2ds[i][1])
+    pts = read_points3d_binary(os.path.join(d, "points3D.bin"))
+    assert len(pts) == 4
+    np.testing.assert_array_equal(pts[1].image_ids, [1, 2])
+
+
+def test_colmap_native_matches_python(tmp_path):
+    from sanerf_hq_tpu.data import colmap_native as cn
+
+    if not cn.native_available():
+        pytest.skip("native reader not built (no compiler)")
+    d = str(tmp_path / "sparse")
+    write_colmap_model(d)
+    cams_p = read_cameras_binary(os.path.join(d, "cameras.bin"))
+    cams_n = cn.read_cameras_native(os.path.join(d, "cameras.bin"))
+    assert set(cams_p) == set(cams_n)
+    for k in cams_p:
+        assert cams_p[k].model == cams_n[k].model
+        np.testing.assert_allclose(cams_p[k].params, cams_n[k].params)
+    imgs_p = read_images_binary(os.path.join(d, "images.bin"))
+    imgs_n = cn.read_images_native(os.path.join(d, "images.bin"))
+    for k in imgs_p:
+        np.testing.assert_allclose(imgs_p[k].qvec, imgs_n[k].qvec)
+        np.testing.assert_allclose(imgs_p[k].xys, imgs_n[k].xys)
+        assert imgs_p[k].name == imgs_n[k].name
+        np.testing.assert_array_equal(imgs_p[k].point3D_ids,
+                                      imgs_n[k].point3D_ids)
+    pts_p = read_points3d_binary(os.path.join(d, "points3D.bin"))
+    pts_n = cn.read_points3d_native(os.path.join(d, "points3D.bin"))
+    for k in pts_p:
+        np.testing.assert_allclose(pts_p[k].xyz, pts_n[k].xyz)
+        np.testing.assert_array_equal(pts_p[k].image_ids, pts_n[k].image_ids)
+
+
+def test_qvec_rotmat_roundtrip():
+    rng = np.random.default_rng(1)
+    for _ in range(10):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        if q[0] < 0:
+            q = -q
+        R = qvec2rotmat(q)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+        np.testing.assert_allclose(rotmat2qvec(R), q, atol=1e-8)
+
+
+def test_ngp_matrix_roundtrip():
+    rng = np.random.default_rng(2)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = qvec2rotmat(rng.normal(size=4) / 2)
+    pose[:3, 3] = rng.normal(size=3)
+    ngp = nerf_matrix_to_ngp(pose, scale=0.5, offset=(0.1, 0.2, 0.3))
+    back = ngp_to_nerf_matrix(ngp, scale=0.5, offset=(0.1, 0.2, 0.3))
+    np.testing.assert_allclose(back, pose, atol=1e-5)
+
+
+def test_center_poses_alignment():
+    rng = np.random.default_rng(3)
+    poses = np.stack([
+        look_at_pose(rng.normal(size=3) * 3 + [0, 5, 0]) for _ in range(8)
+    ]).astype(np.float64)
+    centered, _, tf = center_poses(poses.copy(), None, enable_cam_center=True)
+    # camera centroid at origin
+    np.testing.assert_allclose(centered[:, :3, 3].mean(0), 0, atol=1e-5)
+    # mean up direction aligned with +z
+    up = centered[:, :3, 1].mean(0)
+    up /= np.linalg.norm(up)
+    np.testing.assert_allclose(up, [0, 0, 1], atol=1e-5)
+
+
+def test_ray_conventions():
+    """Center pixel looks along camera -z; depth convention unnormalized."""
+    pose = jnp.asarray(look_at_pose([0, 0, 2]))
+    intr = jnp.asarray([100.0, 100.0, 32.0, 32.0])
+    ro, rd = full_frame_rays(pose, intr, 64, 64)
+    ro, rd = np.asarray(ro), np.asarray(rd)
+    np.testing.assert_allclose(ro[0], [0, 0, 2], atol=1e-6)
+    center = rd.reshape(64, 64, 3)[32, 32]
+    # pixel center (32.5, 32.5) -> slight offset; pixel (31..32) straddles cx
+    d = center / np.linalg.norm(center)
+    assert d[2] < -0.99  # looking toward -z (scene center)
+    # unnormalized z-component magnitude is 1 in camera space -> depth =
+    # z-distance (nerf/utils.py:272-277)
+    cam_d = np.asarray(pose[:3, :3]).T @ center
+    np.testing.assert_allclose(cam_d[2], -1.0, atol=1e-6)
+
+
+def test_split_indices():
+    idx = split_indices(16, "train")
+    val = split_indices(16, "val")
+    assert set(idx) | set(val) == set(range(16))
+    assert set(idx) & set(val) == set()
+    names = np.array([f"i{i}.png" for i in range(6)])
+    tr = split_indices(6, "train", "val_split", ["i2.png", "i4.png"], names)
+    te = split_indices(6, "val", "val_split", ["i2.png", "i4.png"], names)
+    assert list(te) == [2, 4]
+    assert 2 not in tr and 4 not in tr
+
+
+def test_trajectory_synthesis():
+    poses = circle_poses(radius=2.0, n_frames=8)
+    assert poses.shape == (8, 4, 4)
+    # orbit stays at radius ~2 (plus elevation)
+    r = np.linalg.norm(poses[:, :3, 3] - [0, 0.3, 0], axis=-1)
+    np.testing.assert_allclose(r, 2.0, atol=1e-5)
+    interp = interpolate_poses(poses[:3], num_frames=4)
+    assert interp.shape == (10, 4, 4)
+    for p in interp:
+        np.testing.assert_allclose(p[:3, :3] @ p[:3, :3].T, np.eye(3),
+                                   atol=1e-5)

@@ -1,0 +1,144 @@
+"""Stage-2 / stage-3 / decode smoke tests on tiny configs."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sanerf_hq_tpu.config import Config
+from sanerf_hq_tpu.data import make_synthetic_dataset, full_frame_rays
+from sanerf_hq_tpu.data.sampler import sample_mask_batch, fixed_fovy_intrinsics
+from sanerf_hq_tpu.models import SANeRFField
+from sanerf_hq_tpu.ops import HashGridSpec
+from sanerf_hq_tpu.train.state import (
+    create_train_state,
+    freeze_mask_from_loaded,
+)
+from sanerf_hq_tpu.train.checkpoints import partial_load
+from sanerf_hq_tpu.train.steps import (
+    make_mask_train_step,
+    make_sam_distill_step,
+)
+
+SMALL = dict(
+    main_spec=HashGridSpec(num_levels=4, level_dim=2, base_resolution=8,
+                           log2_hashmap_size=12, desired_resolution=64),
+    feat_spec=HashGridSpec(num_levels=4, level_dim=8, base_resolution=8,
+                           log2_hashmap_size=12, desired_resolution=64),
+    prop_spec_0=HashGridSpec(num_levels=3, level_dim=2, base_resolution=8,
+                             log2_hashmap_size=11, desired_resolution=32),
+    prop_spec_1=HashGridSpec(num_levels=3, level_dim=2, base_resolution=8,
+                             log2_hashmap_size=11, desired_resolution=32),
+)
+CFG = Config(num_steps=(8, 4, 4), num_rays=64, iters=10, bound=4.0,
+             min_near=0.05, num_local_sample=2, local_sample_patch_size=4,
+             ray_pair_rgb_loss_weight=1.0, ray_pair_rgb_iter=2,
+             ray_pair_rgb_num_sample=2, error_map=True, error_map_size=16,
+             n_inst=2, label_regularization_weight=0.1,
+             online_resolution=32, sam_use_view_direction=True)
+
+
+def _init(model):
+    return model.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                      jnp.ones((4, 3)))
+
+
+def test_sam_distill_step_runs_and_freezes_backbone():
+    cfg = CFG.replace(with_sam=True)
+    # stage-1 params
+    m1 = SANeRFField(grid_bound=cfg.grid_bound, **SMALL)
+    p1 = _init(m1)
+    # stage-2 model with SAM field; hand-off + freeze
+    m2 = SANeRFField(grid_bound=cfg.grid_bound, with_sam=True,
+                     sam_use_view_direction=True, **SMALL)
+    p2 = _init(m2)
+    merged, loaded = partial_load(p2, p1)
+    assert len(loaded) > 0
+    mask = freeze_mask_from_loaded(merged, p1)
+    state = create_train_state(merged, 1e-2, cfg.iters, freeze_mask=mask)
+    step = make_sam_distill_step(m2, cfg)
+
+    ro, rd = full_frame_rays(
+        jnp.asarray(make_synthetic_dataset(2, 16, 16)["poses"][0]),
+        jnp.asarray([20.0, 20.0, 8.0, 8.0]), 16, 16,
+    )
+    batch = {
+        "rays_o_lr": ro, "rays_d_lr": rd, "h": 16, "w": 16,
+        "gt_samvit": jnp.zeros((16, 16, 256)),
+    }
+    grid_before = np.asarray(state.params["params"]["grid"])
+    s_before = np.asarray(state.params["params"]["s_grid"])
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # frozen backbone unchanged; SAM field updated
+    np.testing.assert_array_equal(
+        np.asarray(state.params["params"]["grid"]), grid_before)
+    assert np.any(np.asarray(state.params["params"]["s_grid"]) != s_before)
+
+
+def test_mask_step_and_error_map():
+    cfg = CFG.replace(with_mask=True)
+    model = SANeRFField(grid_bound=cfg.grid_bound, with_mask=True,
+                        n_inst=cfg.n_inst, **SMALL)
+    params = _init(model)
+    state = create_train_state(params, 1e-2, cfg.iters)
+    step = make_mask_train_step(model, cfg)
+
+    scene = make_synthetic_dataset(n_views=3, H=32, W=32)
+    V, H, W = 3, 32, 32
+    rng = np.random.default_rng(0)
+    masks = jnp.asarray(rng.integers(0, 2, size=(V, H, W)), jnp.int32)
+    poses = jnp.asarray(scene["poses"])
+    intr = jnp.asarray(scene["intrinsics"])
+    S = cfg.error_map_size
+    error_map = jnp.full((V, S * S), 0.1)
+
+    key = jax.random.PRNGKey(2)
+    batch = sample_mask_batch(key, masks, poses, intr, error_map,
+                              cfg.num_rays, cfg.num_local_sample,
+                              cfg.local_sample_patch_size, H, W, S)
+    Nl = cfg.num_local_sample * cfg.local_sample_patch_size ** 2
+    assert batch["rays_o"].shape == (cfg.num_rays + Nl, 3)
+    batch["step"] = jnp.int32(5)  # > ray_pair_rgb_iter -> ray-pair active
+    state, metrics, new_em = step(state, batch, key, error_map)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["ray_pair"]) >= 0
+    # error map updated at the sampled cells
+    assert np.any(np.asarray(new_em) != np.asarray(error_map))
+
+
+def test_decode_pipeline(tmp_path):
+    """End-to-end decode with tiny SAM + tiny field: outputs on disk."""
+    from sanerf_hq_tpu.sam.predictor import SamPredictor
+    from sanerf_hq_tpu.train.trainer import Trainer
+    from sanerf_hq_tpu.train import stages
+    from sanerf_hq_tpu.utils.points import PointPrompts
+    from tests.test_sam import tiny_sam
+
+    cfg = CFG.replace(max_ray_batch=256, feature_container="distill",
+                      with_sam=True)
+    model = SANeRFField(grid_bound=cfg.grid_bound, with_sam=True,
+                        sam_use_view_direction=True, **SMALL)
+    trainer = Trainer("t", cfg, model, str(tmp_path / "ws"),
+                      use_checkpoint="scratch")
+    scene_np = make_synthetic_dataset(n_views=2, H=32, W=32)
+    from sanerf_hq_tpu.data.provider import Scene
+
+    scene = Scene(images=scene_np["images"], poses=scene_np["poses"],
+                  intrinsics=scene_np["intrinsics"], H=32, W=32,
+                  img_names=np.array(["a.png", "b.png"]))
+    sam = SamPredictor(tiny_sam(), img_size=64)
+    prompts = PointPrompts(
+        points=np.array([[0.0, 0.0, 0.0], [0.1, 0.1, 0.0]], np.float32),
+        labels=np.array([1, 1], np.int32),
+        crucial_label=np.zeros(2, np.int32),
+        crucial_count=0, valid_threshold=1,
+    )
+    out_dir = stages.decode(trainer, scene, sam, prompts,
+                            out_dir=str(tmp_path / "masks"),
+                            feature_container="distill")
+    assert os.path.exists(os.path.join(out_dir, "valid_dict.json"))
+    assert os.path.exists(os.path.join(out_dir, "a_obj_mask.npy"))
+    m = np.load(os.path.join(out_dir, "a_obj_mask.npy"))
+    assert m.shape == (32, 32)
