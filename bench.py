@@ -55,7 +55,7 @@ def main():
     def run(params, rays_o, rays_d, k):
         def body(i, carry):
             out = render_fn(params, rays_o + carry * 0.0, rays_d)
-            return carry + jnp.sum(out["image"][0]) * 1e-20
+            return carry + (jnp.sum(out["image"]) + jnp.sum(out["depth"])) * 1e-20
 
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 

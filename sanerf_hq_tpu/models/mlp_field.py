@@ -44,28 +44,32 @@ from .fields import (
 
 
 class FreqMLP(nn.Module):
-    """Frequency-encode -> dense trunk. Runs in bf16 on the MXU with fp32
-    params and fp32 outputs."""
+    """Frequency-encode -> dense trunk (bias-free, bf16 compute, fp32
+    params/outputs).  On TPU the whole stack runs as ONE fused Pallas
+    kernel (ops/fused_mlp.py) — activations never leave VMEM; off-TPU it
+    falls back to the identical jnp reference."""
     dim_out: int
     dim_hidden: int = 256
     num_layers: int = 4
     freq_degree: int = 10
     skip_layer: int = -1
-    compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
-        h = freq_encode(x, self.freq_degree).astype(self.compute_dtype)
-        h_in = h
+        from ..ops.fused_mlp import fused_freq_mlp
+        from ..ops.freq import freq_output_dim
+
+        D = x.shape[-1]
+        in_dim = freq_output_dim(D, self.freq_degree)
+        ws = []
+        fin = in_dim
         for l in range(self.num_layers):
             if l == self.skip_layer:
-                h = jnp.concatenate([h, h_in], axis=-1)
+                fin = fin + in_dim
             fout = self.dim_out if l == self.num_layers - 1 else self.dim_hidden
-            h = nn.Dense(fout, use_bias=False, kernel_init=torch_kernel_init,
-                         dtype=self.compute_dtype)(h)
-            if l != self.num_layers - 1:
-                h = nn.relu(h)
-        return h.astype(jnp.float32)
+            ws.append(self.param(f"w{l}", torch_kernel_init, (fin, fout)))
+            fin = fout
+        return fused_freq_mlp(x, ws, self.freq_degree, self.skip_layer)
 
 
 class MLPField(nn.Module):

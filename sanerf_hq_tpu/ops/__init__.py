@@ -1,4 +1,5 @@
 from .trunc_exp import trunc_exp
+from .encoding import get_encoder
 from .sh import sh_encode, sh_output_dim
 from .freq import freq_encode, freq_output_dim
 from .contraction import contract, uncontract

@@ -90,7 +90,7 @@ def train_sam_distill(trainer: Trainer, scene: Scene, sam_predictor,
                 jnp.asarray(pose), jnp.asarray(intr) / scale, 64, 64
             )
             batch = {"rays_o_lr": ro_lr, "rays_d_lr": rd_lr,
-                     "gt_samvit": gt, "h": 64, "w": 64}
+                     "gt_samvit": gt}
             if cache is not None:
                 cache.insert(batch)
 

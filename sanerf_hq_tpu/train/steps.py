@@ -99,7 +99,7 @@ def make_rgb_train_step(model, cfg: Config, donate: bool = True):
     return train_step
 
 
-def make_sam_distill_step(model, cfg: Config):
+def make_sam_distill_step(model, cfg: Config, feat_hw: int = 64):
     """Stage-2 distillation step (nerf/trainer.py:507-555, distill branch):
     render the 64x64 feature map from the s_grid field and regress it onto
     the HQ-SAM encoder's ground-truth features with MSE.
@@ -126,8 +126,7 @@ def make_sam_distill_step(model, cfg: Config):
             key=None, bg_color=1.0, cam_near_far=batch.get("cam_near_far"),
             update_proposal=False,
         )
-        h, w = batch["h"], batch["w"]
-        pred = out["samvit"].reshape(h, w, -1)  # [h, w, 256]
+        pred = out["samvit"].reshape(feat_hw, feat_hw, -1)  # [h, w, 256]
         gt = batch["gt_samvit"]  # [gh, gw, 256]
         if pred.shape[:2] != gt.shape[:2]:
             pred = jax.image.resize(pred, (*gt.shape[:2], pred.shape[-1]),

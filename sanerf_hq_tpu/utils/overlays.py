@@ -44,3 +44,27 @@ def overlay_point(image: np.ndarray, coords: np.ndarray, radius: int = 4,
         x0, x1 = max(0, x - radius), min(W, x + radius + 1)
         out[y0:y1, x0:x1] = color
     return out
+
+
+def get_incoherent_mask(input_masks, sfact: int = 2):
+    """Down-up-sample residual mask: marks pixels whose mask value is not
+    representable at 1/sfact resolution — i.e. mask boundary/detail regions
+    (reference: nerf/utils.py:308-323)."""
+    import numpy as np
+
+    m = np.asarray(input_masks, np.float32)
+    squeeze = False
+    if m.ndim == 2:
+        m = m[None]
+        squeeze = True
+    h, w = m.shape[-2:]
+    import cv2
+
+    out = []
+    for mm in m:
+        small = cv2.resize(mm, (w // sfact, h // sfact),
+                           interpolation=cv2.INTER_LINEAR)
+        back = cv2.resize(small, (w, h), interpolation=cv2.INTER_NEAREST)
+        out.append((np.abs(back - mm) > 0.01).astype(np.float32))
+    res = np.stack(out)
+    return res[0] if squeeze else res

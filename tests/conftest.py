@@ -13,6 +13,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the axon plugin imports jax at interpreter startup (sitecustomize), so env
+# vars alone are too late; force the platform post-import
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # persistent compile cache: CPU compiles here are slow (remote-compile
 # environment); cache across test runs

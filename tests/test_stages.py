@@ -57,14 +57,14 @@ def test_sam_distill_step_runs_and_freezes_backbone():
     assert len(loaded) > 0
     mask = freeze_mask_from_loaded(merged, p1)
     state = create_train_state(merged, 1e-2, cfg.iters, freeze_mask=mask)
-    step = make_sam_distill_step(m2, cfg)
+    step = make_sam_distill_step(m2, cfg, feat_hw=16)
 
     ro, rd = full_frame_rays(
         jnp.asarray(make_synthetic_dataset(2, 16, 16)["poses"][0]),
         jnp.asarray([20.0, 20.0, 8.0, 8.0]), 16, 16,
     )
     batch = {
-        "rays_o_lr": ro, "rays_d_lr": rd, "h": 16, "w": 16,
+        "rays_o_lr": ro, "rays_d_lr": rd,
         "gt_samvit": jnp.zeros((16, 16, 256)),
     }
     grid_before = np.asarray(state.params["params"]["grid"])
