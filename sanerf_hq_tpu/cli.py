@@ -247,6 +247,28 @@ def main(argv=None):
     train_scene = subset(scene, train_idx)
     val_scene = subset(scene, val_idx)
 
+    if cfg.render_trajectory or (cfg.test and cfg.camera_traj and
+                                 (cfg.circle or cfg.trajectory_root)):
+        # synthesized camera path rendering (provider.py:504-609)
+        import copy
+
+        from .data.trajectory import synthesize_test_poses
+
+        traj = "circle" if cfg.circle else cfg.camera_traj
+        tposes = synthesize_test_poses(train_scene.poses, traj)
+        tscene = copy.copy(scene)
+        tscene.images = None
+        tscene.poses = tposes
+        tscene.intrinsics = (scene.intrinsics[0]
+                             if scene.intrinsics.ndim == 2 else scene.intrinsics)
+        tscene.img_names = np.array([f"traj_{i:04d}" for i in range(len(tposes))])
+        tscene.cam_near_far = None
+        tscene.masks = None
+        trainer.test(tscene,
+                     save_dir=os.path.join(cfg.workspace, "trajectory"),
+                     write_video=True)
+        return trainer
+
     if cfg.test:
         if cfg.decode:
             from .utils.points import load_point_file

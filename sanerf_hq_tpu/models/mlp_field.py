@@ -53,6 +53,10 @@ class FreqMLP(nn.Module):
     num_layers: int = 4
     freq_degree: int = 10
     skip_layer: int = -1
+    # fused Pallas path (transposed layout, points on lanes): measured
+    # 2.8-4.6x faster than unfused XLA for both narrow and wide networks
+    # (docs/PERF.md); opt-out per instance for debugging
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -69,7 +73,9 @@ class FreqMLP(nn.Module):
             fout = self.dim_out if l == self.num_layers - 1 else self.dim_hidden
             ws.append(self.param(f"w{l}", torch_kernel_init, (fin, fout)))
             fin = fout
-        return fused_freq_mlp(x, ws, self.freq_degree, self.skip_layer)
+        use_pallas = None if self.fused else False
+        return fused_freq_mlp(x, ws, self.freq_degree, self.skip_layer,
+                              use_pallas=use_pallas)
 
 
 class MLPField(nn.Module):
@@ -92,13 +98,13 @@ class MLPField(nn.Module):
     def setup(self):
         self.trunk = FreqMLP(
             1 + GEOM_FEAT_DIM, self.hidden, self.num_layers,
-            self.freq_degree, skip_layer=self.num_layers // 2,
+            self.freq_degree, skip_layer=self.num_layers // 2, fused=True,
         )
         self.view_mlp = MLP(3, 32, 3, use_bias=False)
         self.prop_mlp_0 = FreqMLP(1, self.prop_hidden, self.prop_layers,
-                                  self.prop_freq_degree)
+                                  self.prop_freq_degree, fused=True)
         self.prop_mlp_1 = FreqMLP(1, self.prop_hidden, self.prop_layers,
-                                  self.prop_freq_degree)
+                                  self.prop_freq_degree, fused=True)
 
         # SAM / mask feature containers stay hash-grid (they are *trained
         # feature volumes* like the reference's s_grid/m_grid); the backbone

@@ -66,13 +66,37 @@ def _reference_forward(x, ws, freq_degree: int, skip_layer: int,
     return h.astype(jnp.float32)
 
 
+def _freq_expansion_matrix(D: int, degree: int) -> np.ndarray:
+    """[D, F] projection whose output columns are laid out like _freq:
+    [x | 2^0 x .. 2^(deg-1) x (sin block) | same (cos block)]."""
+    F = D * (1 + 2 * degree)
+    P = np.zeros((D, F), np.float32)
+    for d in range(D):
+        P[d, d] = 1.0
+        for k in range(degree):
+            P[d, D + k * D + d] = 2.0 ** k
+            P[d, D + degree * D + k * D + d] = 2.0 ** k
+    return P
+
+
 def _make_kernel(freq_degree: int, skip_layer: int, n_layers: int,
-                 compute_dtype):
-    def kernel(x_ref, *refs):
+                 compute_dtype, D: int):
+    # in-kernel freq encode via ONE matmul + masked sin/cos — lane-level
+    # concatenation of [T, 3]-wide pieces is pathologically slow in Mosaic.
+    # The expansion matrix P is a kernel INPUT (pallas forbids captured
+    # consts); the sin/cos column masks are built from iota in-kernel.
+    F = D * (1 + 2 * freq_degree)
+
+    def kernel(p_ref, x_ref, *refs):
         w_refs = refs[:n_layers]
         out_ref = refs[n_layers]
         x = x_ref[:].astype(jnp.float32)  # [TILE, D]
-        h = _freq(x, freq_degree, compute_dtype)
+        a = jnp.dot(x, p_ref[:], preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+        sin_end = D + freq_degree * D
+        h = jnp.where((col >= D) & (col < sin_end), jnp.sin(a),
+                      jnp.where(col >= sin_end, jnp.cos(a), a))
+        h = h.astype(compute_dtype)
         h_in = h
         for l in range(n_layers):
             if l == skip_layer:
@@ -95,11 +119,13 @@ def _pallas_forward(x, ws, freq_degree: int, skip_layer: int,
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     grid = (xp.shape[0] // TILE,)
 
-    kernel = _make_kernel(freq_degree, skip_layer, n_layers, compute_dtype)
+    kernel = _make_kernel(freq_degree, skip_layer, n_layers, compute_dtype, D)
+    P = jnp.asarray(_freq_expansion_matrix(D, freq_degree))
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(P.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ] + [
@@ -109,14 +135,14 @@ def _pallas_forward(x, ws, freq_degree: int, skip_layer: int,
         out_specs=pl.BlockSpec((TILE, out_dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((xp.shape[0], out_dim), jnp.float32),
-    )(xp, *ws)
+    )(P, xp, *ws)
     return out[:B]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _fused(config, n_ws, x, *ws):
     freq_degree, skip_layer = config
-    return _pallas_forward(x, ws, freq_degree, skip_layer)
+    return _pallas_forward_t(x, ws, freq_degree, skip_layer)
 
 
 def _fused_fwd(config, n_ws, x, *ws):
@@ -148,3 +174,72 @@ def fused_freq_mlp(x, ws: Sequence[jnp.ndarray], freq_degree: int,
     else:
         out = _reference_forward(x2, tuple(ws), freq_degree, skip_layer)
     return out.reshape(*prefix, out.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# v4: transposed layout — points on the LANE axis.
+#
+# The row-major kernel pads every [TILE, 3] input block to 128 lanes (42x
+# VMEM waste), capping TILE at 2048 and leaving per-grid-step overhead
+# dominant for narrow networks.  With features on sublanes and points on
+# lanes ([D, TILE] blocks) nothing pads: TILE grows to 16K+, grid steps drop
+# 8x, and narrow matmuls [out, in] @ [in, TILE] still hit the MXU.
+# ---------------------------------------------------------------------------
+
+TILE_T = 16384
+
+
+def _make_kernel_t(freq_degree: int, skip_layer: int, n_layers: int,
+                   compute_dtype, D: int):
+    def kernel(p_ref, x_ref, *refs):
+        w_refs = refs[:n_layers]
+        out_ref = refs[n_layers]
+        x = x_ref[:].astype(jnp.float32)  # [D, TILE]
+        a = jnp.dot(p_ref[:], x, preferred_element_type=jnp.float32)  # [F, T]
+        row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+        sin_end = D + freq_degree * D
+        h = jnp.where((row >= D) & (row < sin_end), jnp.sin(a),
+                      jnp.where(row >= sin_end, jnp.cos(a), a))
+        h = h.astype(compute_dtype)
+        h_in = h
+        for l in range(n_layers):
+            if l == skip_layer:
+                h = jnp.concatenate([h, h_in], axis=0)
+            w = w_refs[l][:].astype(compute_dtype)  # [out, in]
+            h = jnp.dot(w, h, preferred_element_type=jnp.float32)
+            if l != n_layers - 1:
+                h = jnp.maximum(h, 0.0).astype(compute_dtype)
+        out_ref[:] = h.astype(jnp.float32)
+
+    return kernel
+
+
+def _pallas_forward_t(x, ws, freq_degree: int, skip_layer: int,
+                      compute_dtype=jnp.bfloat16):
+    B, D = x.shape
+    out_dim = ws[-1].shape[1]
+    n_layers = len(ws)
+    pad = (-B) % TILE_T
+    xt = jnp.pad(x, ((0, pad), (0, 0))).T  # [D, B']
+    grid = (xt.shape[1] // TILE_T,)
+
+    kernel = _make_kernel_t(freq_degree, skip_layer, n_layers,
+                            compute_dtype, D)
+    P = jnp.asarray(_freq_expansion_matrix(D, freq_degree)).T  # [F, D]
+    wts = [w.T for w in ws]  # [out, in]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(P.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, TILE_T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for w in wts
+        ],
+        out_specs=pl.BlockSpec((out_dim, TILE_T), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((out_dim, xt.shape[1]), jnp.float32),
+    )(P, xt, *wts)
+    return out[:, :B].T

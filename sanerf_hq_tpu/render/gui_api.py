@@ -90,6 +90,59 @@ class InteractiveSession:
             "fps": 1.0 / max(dt, 1e-9),
         }
 
+    # -- 3-D point prompts (right-click flow, nerf/gui.py:430-441 +
+    #    nerf/trainer.py:795-834) -------------------------------------------
+    def pick_point(self, px: int, py: int, label: int = 1,
+                   dedup_dist: float = 0.01) -> Optional[np.ndarray]:
+        """Unproject pixel (px, py) of the current camera through the
+        rendered depth into a 3-D point prompt; clicking within dedup_dist
+        of an existing point removes it (toggle), like the reference GUI."""
+        import jax.numpy as jnp
+
+        from ..data.rays import rays_from_pixels
+
+        frame = self.render_frame()
+        depth = frame["depth"]
+        H, W = depth.shape
+        px = int(np.clip(px, 0, W - 1))
+        py = int(np.clip(py, 0, H - 1))
+        z = float(depth[py, px])
+        ro, rd = rays_from_pixels(
+            jnp.asarray(self.camera.pose),
+            jnp.asarray(self.camera.intrinsics),
+            jnp.asarray([px + 0.5]), jnp.asarray([py + 0.5]),
+        )
+        point = np.asarray(ro[0]) + np.asarray(rd[0]) * z
+        pts = getattr(self, "points_3d", None)
+        if pts is None:
+            self.points_3d = []
+            self.point_labels = []
+        else:
+            for i, p in enumerate(self.points_3d):
+                if np.linalg.norm(p - point) < dedup_dist:
+                    self.points_3d.pop(i)
+                    self.point_labels.pop(i)
+                    return None
+        self.points_3d.append(point)
+        self.point_labels.append(label)
+        return point
+
+    def save_points(self, path: str):
+        """Write the picked prompts in the point_file schema
+        (example_points.json / nerf/trainer.py:228-255)."""
+        import json
+
+        pts = getattr(self, "points_3d", [])
+        labels = getattr(self, "point_labels", [])
+        out = {
+            "points": [p.tolist() for p in pts],
+            "negative_labels": [i for i, l in enumerate(labels) if l == 0],
+            "valid_threshold": -1,
+            "crucial_point_index": [],
+        }
+        with open(path, "w") as f:
+            json.dump(out, f, indent=4)
+
     def train_ticks(self, target_seconds: float = 0.5) -> dict:
         """train_gui-shaped: run a dynamic number of train steps targeting
         ~target_seconds of wall clock (nerf/trainer.py:1194-1247)."""
