@@ -71,22 +71,25 @@ def sample_pdf(bins, weights, T: int, key=None):
     if key is not None:
         u = u + (jax.random.uniform(key, (N, T), dtype=u.dtype) - 0.5) / T
 
-    inds = _searchsorted_right(cdf, u)
-    below = jnp.clip(inds - 1, 0, T0)
-    above = jnp.clip(inds, 0, T0)
-
-    # TPU-first: row-wise gathers (take_along_axis) lower to scalar-issue XLA
-    # gathers (~180M/s — they dominated the whole render).  A one-hot batched
-    # matmul does the same lookup on the MXU in ~1% of the time.
-    # (masked sum, not einsum: dot_general's default TPU precision truncates
-    # f32 operands to bf16 which corrupts the looked-up values)
-    iota = jnp.arange(T0 + 1, dtype=jnp.int32)
-    oh_b = below[..., None] == iota  # [N, T, T0+1] bool
-    oh_a = above[..., None] == iota
-    cdf_g0 = jnp.sum(jnp.where(oh_b, cdf[:, None, :], 0.0), axis=-1)
-    bins_g0 = jnp.sum(jnp.where(oh_b, bins[:, None, :], 0.0), axis=-1)
-    cdf_g1 = jnp.sum(jnp.where(oh_a, cdf[:, None, :], 0.0), axis=-1)
-    bins_g1 = jnp.sum(jnp.where(oh_a, bins[:, None, :], 0.0), axis=-1)
+    # TPU-first lookup: row-wise gathers (take_along_axis) lower to
+    # scalar-issue XLA gathers and dominated the whole render.  Because both
+    # cdf AND bins are monotone non-decreasing per row, the four lookups are
+    # prefix/suffix masked reductions fused into ONE sweep over K:
+    #   below = count(cdf <= u) - 1  ->  x[below] = max over {k: cdf_k <= u}
+    #   above = min(count, T0)      ->  x[above] = min over {k: cdf_k >  u}
+    #                                    (empty suffix -> last element)
+    # (count >= 1 always since cdf[0] = 0 <= u, so the prefix is non-empty.)
+    le = cdf[:, None, :] <= u[:, :, None]  # [N, T, T0+1]
+    neg = jnp.float32(-1e38)
+    pos = jnp.float32(1e38)
+    cdf_g0 = jnp.max(jnp.where(le, cdf[:, None, :], neg), axis=-1)
+    bins_g0 = jnp.max(jnp.where(le, bins[:, None, :], neg), axis=-1)
+    cdf_g1 = jnp.minimum(
+        jnp.min(jnp.where(le, pos, cdf[:, None, :]), axis=-1), cdf[:, -1:]
+    )
+    bins_g1 = jnp.minimum(
+        jnp.min(jnp.where(le, pos, bins[:, None, :]), axis=-1), bins[:, -1:]
+    )
 
     denom = cdf_g1 - cdf_g0
     t = jnp.where(denom > 0, (u - cdf_g0) / jnp.where(denom > 0, denom, 1.0), 0.0)

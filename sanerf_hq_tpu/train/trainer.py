@@ -123,6 +123,14 @@ class Trainer:
 
         if self._full_step is None:
             train_step = self.train_step
+            mesh = None
+            if len(jax.devices()) > 1:
+                # data-parallel mesh: rays sharded, params replicated
+                from ..parallel import make_mesh, data_sharding
+
+                mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+                shard = data_sharding(mesh, cfg.mesh_axis_names[0])
+                self.log(f"[INFO] sharding rays over mesh {dict(mesh.shape)}")
 
             @jax.jit
             def full_step(state, key):
@@ -131,6 +139,11 @@ class Trainer:
                     kb, images, poses, intr, cfg.num_rays,
                     random_image_batch=cfg.random_image_batch,
                 )
+                if mesh is not None:
+                    batch = {
+                        k: jax.lax.with_sharding_constraint(v, shard)
+                        for k, v in batch.items()
+                    }
                 batch["step"] = state.step
                 return train_step(state, batch, kr)
 

@@ -1,0 +1,96 @@
+"""End-to-end 3-stage pipeline on the synthetic scene with tiny configs:
+stage-1 RGB fit -> stage-2 feature cache -> decode -> stage-3 object field
+-> mIoU eval.  The full SANeRF-HQ workflow in one test (SURVEY §3)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sanerf_hq_tpu.config import Config
+from sanerf_hq_tpu.data import make_synthetic_dataset
+from sanerf_hq_tpu.data.provider import Scene
+from sanerf_hq_tpu.models import SANeRFField
+from sanerf_hq_tpu.ops import HashGridSpec
+from sanerf_hq_tpu.sam.predictor import SamPredictor
+from sanerf_hq_tpu.train import stages
+from sanerf_hq_tpu.train.trainer import Trainer
+from sanerf_hq_tpu.utils.points import PointPrompts
+from tests.test_sam import tiny_sam
+
+SMALL = dict(
+    main_spec=HashGridSpec(num_levels=4, level_dim=2, base_resolution=8,
+                           log2_hashmap_size=12, desired_resolution=64),
+    feat_spec=HashGridSpec(num_levels=4, level_dim=8, base_resolution=8,
+                           log2_hashmap_size=12, desired_resolution=64),
+    prop_spec_0=HashGridSpec(num_levels=3, level_dim=2, base_resolution=8,
+                             log2_hashmap_size=11, desired_resolution=32),
+    prop_spec_1=HashGridSpec(num_levels=3, level_dim=2, base_resolution=8,
+                             log2_hashmap_size=11, desired_resolution=32),
+)
+
+
+def _scene(n=4, H=32, W=32, masks=False):
+    s = make_synthetic_dataset(n_views=n, H=H, W=W)
+    masks_arr = None
+    if masks:
+        # GT object mask: the sphere (non-white region)
+        masks_arr = (s["images"].min(-1) < 0.95).astype(np.int32)
+    return Scene(images=s["images"], poses=s["poses"],
+                 intrinsics=s["intrinsics"], H=H, W=W,
+                 img_names=np.array([f"v{i}.png" for i in range(n)]),
+                 masks=masks_arr)
+
+
+def test_full_pipeline(tmp_path):
+    ws = str(tmp_path / "ws")
+    scene = _scene(4, 32, 32, masks=True)
+
+    # ---- stage 1: RGB fit --------------------------------------------------
+    cfg1 = Config(num_steps=(16, 8, 8), num_rays=256, iters=120, bound=4.0,
+                  contract=True, min_near=0.05, random_image_batch=True,
+                  max_ray_batch=1024, eval_cnt=1, save_cnt=1,
+                  lambda_distort=0.0)
+    m1 = SANeRFField(grid_bound=cfg1.grid_bound, **SMALL)
+    t1 = Trainer("e2e", cfg1, m1, ws, use_checkpoint="scratch")
+    t1.train(scene, val_scene=None)
+    psnr = t1.evaluate(scene, max_views=1)
+    assert psnr > 12.0, f"stage-1 PSNR too low: {psnr}"
+
+    # ---- stage 2: feature cache -------------------------------------------
+    cfg2 = cfg1.replace(with_sam=True, sam_use_view_direction=True,
+                        feature_container="cache")
+    m2 = SANeRFField(grid_bound=cfg2.grid_bound, with_sam=True,
+                     sam_use_view_direction=True, **SMALL)
+    t2 = Trainer("e2e2", cfg2, m2, ws, use_checkpoint="scratch",
+                 init_params=t1.state.params)
+    sam = SamPredictor(tiny_sam(), img_size=64)
+    stages.store_sam_features(t2, scene, sam)
+    for i in range(4):
+        assert os.path.exists(os.path.join(ws, "sam_cache", f"v{i}.npy"))
+
+    # ---- decode: point prompts -> per-view masks ----------------------------
+    prompts = PointPrompts(
+        points=np.array([[0.0, 0.0, 0.0]], np.float32),  # sphere center ray
+        labels=np.array([1], np.int32),
+        crucial_label=np.zeros(1, np.int32), crucial_count=0,
+        valid_threshold=1,
+    )
+    mask_dir = stages.decode(t2, scene, sam, prompts,
+                             feature_container="cache", depth_tol=10.0)
+    assert os.path.exists(os.path.join(mask_dir, "valid_dict.json"))
+
+    # ---- stage 3: object field over GT masks --------------------------------
+    cfg3 = cfg1.replace(with_mask=True, n_inst=2, num_rays=256, iters=60,
+                        num_local_sample=2, local_sample_patch_size=4,
+                        ray_pair_rgb_loss_weight=1.0, ray_pair_rgb_iter=30,
+                        ray_pair_rgb_num_sample=2, error_map=True,
+                        error_map_size=16, use_default_intrinsics=True)
+    m3 = SANeRFField(grid_bound=cfg3.grid_bound, with_mask=True, n_inst=2,
+                     **SMALL)
+    t3 = Trainer("e2e3", cfg3, m3, ws + "3", use_checkpoint="scratch",
+                 init_params=t1.state.params)
+    stages.train_mask(t3, scene)
+    miou = stages.evaluate_masks(t3, scene)
+    assert np.isfinite(miou) and miou > 0.3, f"mIoU too low: {miou}"
