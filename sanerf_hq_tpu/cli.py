@@ -188,7 +188,8 @@ def main(argv=None):
         with open(cfg.test_view_path) as f:
             test_view_names = json.load(f)
         if isinstance(test_view_names, dict):
-            test_view_names = test_view_names.get("test_views", [])
+            test_view_names = test_view_names.get(
+                "test_view_list", test_view_names.get("test_views", []))
 
     def subset(scene, idx):
         import copy
@@ -205,9 +206,12 @@ def main(argv=None):
             s.masks = scene.masks[idx]
         return s
 
+    mask_valid_idx = None
     if cfg.with_mask and cfg.mask_root:
-        scene.masks = load_object_masks(cfg.mask_root, scene.img_names,
-                                        scene.H, scene.W)
+        scene.masks, mask_valid_idx = load_object_masks(
+            cfg.mask_root, scene.img_names, scene.H, scene.W,
+            auto_seg=cfg.auto_seg,
+        )
 
     init_params = None
     if (cfg.with_sam or cfg.with_mask) and cfg.init_ckpt:
@@ -244,6 +248,9 @@ def main(argv=None):
                 else cfg.val_type)
     val_idx = split_indices(n, cfg.test_split, val_type, test_view_names,
                             scene.img_names)
+    if mask_valid_idx is not None and not cfg.test:
+        # stage-3 trains only on the valid-mask view subset (provider.py:723-737)
+        train_idx = np.array([i for i in train_idx if i in set(mask_valid_idx)])
     train_scene = subset(scene, train_idx)
     val_scene = subset(scene, val_idx)
 

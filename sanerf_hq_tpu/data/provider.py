@@ -375,44 +375,56 @@ def split_indices(n_views: int, split: str, val_type: str = "default",
         if split in ("train", "all", "trainval"):
             return all_idx[~is_test]
         return all_idx[is_test]
-    # default: hold out every 8th view for val
+    # default: hold out every 16th view for val (provider.py:620-621)
     if split in ("train",):
-        return all_idx[all_idx % 8 != 0]
+        return all_idx[all_idx % 16 != 0]
     if split in ("val", "test"):
-        return all_idx[all_idx % 8 == 0]
+        return all_idx[all_idx % 16 == 0]
     return all_idx  # 'all' / 'trainval'
 
 
 def load_object_masks(mask_root: str, img_names, H: int, W: int,
                       valid_json: str = "valid_dict.json",
-                      score_thresh: float = 0.5, min_pixels: int = 10):
+                      score_thresh: float = 0.5, min_pixels: int = 10,
+                      subsample: bool = True, auto_seg: bool = False):
     """Load {img}_obj_mask.npy files with validity gating
-    (provider.py:666-758).  Returns [V, H, W] int labels, -1 where a view
-    has no valid mask."""
+    (provider.py:666-758): a view is valid when its valid_dict score > 0.5
+    and the mask has >= 10 foreground pixels; valid training views are
+    subsampled ::3 with a floor of 25 (provider.py:723-737).
+
+    Returns (masks [V, H, W] int labels, valid_indices [K])."""
     import cv2
 
     valid_path = os.path.join(mask_root, valid_json)
-    valid = None
+    valid = {}
     if os.path.exists(valid_path):
         with open(valid_path) as f:
             valid = json.load(f)
-    masks = np.full((len(img_names), H, W), -1, dtype=np.int32)
+    masks = np.zeros((len(img_names), H, W), dtype=np.int32)
+    valid_idx = []
     for i, name in enumerate(img_names):
-        stem = os.path.splitext(name)[0]
+        stem = os.path.splitext(str(name))[0]
         p = os.path.join(mask_root, f"{stem}_obj_mask.npy")
         if not os.path.exists(p):
             continue
-        if valid is not None:
-            ok = valid.get(stem, valid.get(name, {}))
-            if isinstance(ok, dict) and float(ok.get("score", 1.0)) <= score_thresh:
-                continue
         m = np.load(p)
         if m.ndim == 3:
-            m = m.argmax(0) if m.shape[0] < m.shape[-1] else m.argmax(-1)
+            # reference saves [1, H, W] (trainer.py:1770); legacy per-class
+            # probability maps are argmaxed
+            m = m[0] if m.shape[0] == 1 else (
+                m.argmax(0) if m.shape[0] < m.shape[-1] else m.argmax(-1))
         if m.shape != (H, W):
             m = cv2.resize(m.astype(np.uint8), (W, H),
                            interpolation=cv2.INTER_NEAREST)
-        if (m > 0).sum() < min_pixels:
-            continue
         masks[i] = m.astype(np.int32)
-    return masks
+        score = float(valid.get(stem, 1))
+        if auto_seg or ((m > 0).sum() >= min_pixels and score > score_thresh):
+            valid_idx.append(i)
+    valid_idx = np.asarray(valid_idx, np.int64)
+    if subsample and not auto_seg and valid_idx.shape[0] > 25:
+        sub = valid_idx[::3]
+        if sub.shape[0] < 25:
+            extra = np.random.choice(valid_idx, 25 - sub.shape[0])
+            sub = np.concatenate([sub, extra])
+        valid_idx = sub
+    return masks, valid_idx

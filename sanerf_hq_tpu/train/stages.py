@@ -116,7 +116,7 @@ def train_mask(trainer: Trainer, scene: Scene, iters: Optional[int] = None):
     mask_step = make_mask_train_step(trainer.model, cfg)
     S = cfg.error_map_size
     V = scene.poses.shape[0]
-    error_map = jnp.full((V, S * S), 0.1, jnp.float32)  # init like provider.py:745-748
+    error_map = jnp.ones((V, S * S), jnp.float32)  # init (provider.py:745-748)
 
     masks = jnp.asarray(scene.masks)
     poses = jnp.asarray(scene.poses)
@@ -310,9 +310,11 @@ def decode(trainer: Trainer, scene: Scene, sam_predictor,
 
         _save_image(os.path.join(out_dir, f"{stem}_rgb.png"), vis)
         np.save(os.path.join(out_dir, f"{stem}_depth.npy"), depth)
+        # reference shape [1, H, W] and scalar int validity
+        # (nerf/trainer.py:1770-1772)
         np.save(os.path.join(out_dir, f"{stem}_obj_mask.npy"),
-                pred_mask.astype(np.uint8))
-        valid_dict[stem] = {"is_valid": bool(is_valid)}
+                pred_mask.astype(np.uint8)[None])
+        valid_dict[stem] = int(bool(is_valid))
         trainer.log(f"[decode] {stem} valid={is_valid}")
 
     with open(os.path.join(out_dir, "valid_dict.json"), "w") as f:

@@ -180,10 +180,11 @@ def test_ray_conventions():
 
 
 def test_split_indices():
-    idx = split_indices(16, "train")
-    val = split_indices(16, "val")
-    assert set(idx) | set(val) == set(range(16))
+    idx = split_indices(32, "train")
+    val = split_indices(32, "val")
+    assert set(idx) | set(val) == set(range(32))
     assert set(idx) & set(val) == set()
+    assert list(val) == [0, 16]  # every 16th (provider.py:620-621)
     names = np.array([f"i{i}.png" for i in range(6)])
     tr = split_indices(6, "train", "val_split", ["i2.png", "i4.png"], names)
     te = split_indices(6, "val", "val_split", ["i2.png", "i4.png"], names)

@@ -141,4 +141,4 @@ def test_decode_pipeline(tmp_path):
     assert os.path.exists(os.path.join(out_dir, "valid_dict.json"))
     assert os.path.exists(os.path.join(out_dir, "a_obj_mask.npy"))
     m = np.load(os.path.join(out_dir, "a_obj_mask.npy"))
-    assert m.shape == (32, 32)
+    assert m.shape == (1, 32, 32)  # reference layout (trainer.py:1770)
