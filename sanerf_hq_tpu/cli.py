@@ -142,7 +142,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     # TPU-native additions
     p.add_argument("--field_type", type=str, default="hashgrid",
-                   choices=["hashgrid", "mlp"])
+                   choices=["hashgrid", "hashgrid_packed", "mlp"])
     return p
 
 

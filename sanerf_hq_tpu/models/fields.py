@@ -88,9 +88,19 @@ class SANeRFField(nn.Module):
     feat_spec: Optional[HashGridSpec] = None
     prop_spec_0: Optional[HashGridSpec] = None
     prop_spec_1: Optional[HashGridSpec] = None
+    # TPU-native packed-corner mode: one row gather per (point, level)
+    # instead of 2^D — ~8x faster lookups at 8x parameter memory (see
+    # ops/hashgrid.py); a different function class than strict NGP parity
+    packed: bool = False
+
+    def _maybe_pack(self, spec):
+        import dataclasses as _dc
+
+        return _dc.replace(spec, packed=True) if self.packed else spec
 
     def setup(self):
-        self.grid_spec = self.main_spec or main_grid_spec(self.grid_bound)
+        self.grid_spec = self._maybe_pack(
+            self.main_spec or main_grid_spec(self.grid_bound))
         self.grid = self.param(
             "grid", lambda k: init_hash_table(k, self.grid_spec)
         )
@@ -98,8 +108,8 @@ class SANeRFField(nn.Module):
         self.view_mlp = MLP(3, 32, 3, use_bias=False)
 
         self.prop_specs = (
-            self.prop_spec_0 or prop_grid_spec(128),
-            self.prop_spec_1 or prop_grid_spec(256),
+            self._maybe_pack(self.prop_spec_0 or prop_grid_spec(128)),
+            self._maybe_pack(self.prop_spec_1 or prop_grid_spec(256)),
         )
         self.prop_grid_0 = self.param(
             "prop_grid_0", lambda k: init_hash_table(k, self.prop_specs[0])
@@ -111,7 +121,7 @@ class SANeRFField(nn.Module):
         self.prop_mlp_1 = MLP(1, 16, 2, use_bias=False)
 
         if self.with_sam:
-            self.s_spec = self.feat_spec or feature_grid_spec()
+            self.s_spec = self._maybe_pack(self.feat_spec or feature_grid_spec())
             self.s_grid_table = self.param(
                 "s_grid", lambda k: init_hash_table(k, self.s_spec)
             )
@@ -122,7 +132,8 @@ class SANeRFField(nn.Module):
 
         if self.with_mask:
             if self.mask_mlp_type == "default":
-                self.m_spec = self.feat_spec or feature_grid_spec()
+                self.m_spec = self._maybe_pack(
+                    self.feat_spec or feature_grid_spec())
                 self.m_grid_table = self.param(
                     "m_grid", lambda k: init_hash_table(k, self.m_spec)
                 )

@@ -200,13 +200,17 @@ class MLPField(nn.Module):
 
 
 def make_field(field_type: str = "hashgrid", **kw):
-    """Factory: 'hashgrid' (reference parity) | 'mlp' (TPU flagship)."""
+    """Factory: 'hashgrid' (reference parity) | 'hashgrid_packed' (TPU-
+    accelerated NGP variant, 1 gather/level) | 'mlp' (TPU flagship)."""
     from .fields import SANeRFField
 
-    if field_type == "hashgrid":
+    if field_type in ("hashgrid", "hashgrid_packed"):
         allowed = {"grid_bound", "with_sam", "with_mask", "mask_mlp_type",
                    "n_inst", "sam_use_view_direction", "main_spec",
-                   "feat_spec", "prop_spec_0", "prop_spec_1"}
+                   "feat_spec", "prop_spec_0", "prop_spec_1", "packed"}
+        kw = dict(kw)
+        if field_type == "hashgrid_packed":
+            kw["packed"] = True
         return SANeRFField(**{k: v for k, v in kw.items() if k in allowed})
     if field_type == "mlp":
         allowed = {"grid_bound", "with_sam", "with_mask", "mask_mlp_type",

@@ -51,6 +51,14 @@ class HashGridSpec:
     gridtype: str = "hash"  # "hash" | "tiled"
     interpolation: str = "linear"  # "linear" | "smoothstep"
     align_corners: bool = False
+    # TPU-native packed-corner variant: each table row stores ALL 2^D corner
+    # features of one grid cell, so a lookup is ONE gather of a (2^D * C)-wide
+    # row instead of 2^D separate gathers.  XLA gather cost on TPU is
+    # per-ROW (scalar-issue bound, ~177M rows/s regardless of row width, see
+    # docs/PERF.md), so this is an ~8x speedup at 8x parameter memory.
+    # Different function class than Instant-NGP (corners are per-cell, not
+    # shared) — a TPU-first accelerated mode, not the parity encoder.
+    packed: bool = False
 
     @property
     def scale(self) -> float:
@@ -95,11 +103,16 @@ class HashGridSpec:
         meta = self.level_meta()
         return meta[-1][1] + meta[-1][2]
 
+    @property
+    def row_dim(self) -> int:
+        return self.level_dim * (2 ** self.input_dim if self.packed else 1)
+
 
 def init_hash_table(key, spec: HashGridSpec, dtype=jnp.float32):
     """U(-1e-4, 1e-4) init, matching grid.py:144-146."""
     return jax.random.uniform(
-        key, (spec.total_params, spec.level_dim), dtype=dtype, minval=-1e-4, maxval=1e-4
+        key, (spec.total_params, spec.row_dim), dtype=dtype,
+        minval=-1e-4, maxval=1e-4,
     )
 
 
@@ -143,6 +156,11 @@ def hash_encode_unit(table, x, spec: HashGridSpec, max_level: Optional[int] = No
 
     oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1, keepdims=True)  # [B, 1]
     x_safe = jnp.clip(x, 0.0, 1.0)
+
+    if spec.packed:
+        out = _packed_encode(table, x_safe, spec, max_level)
+        out = jnp.where(oob, 0.0, out)
+        return out.reshape(*prefix, L * C)
 
     outs = []
     for lvl, (res, offset, size, use_hash) in enumerate(spec.level_meta()):
@@ -229,3 +247,40 @@ def weight_decay_loss(table, spec: HashGridSpec):
         lvl = jax.lax.dynamic_slice_in_dim(table, offset, size, axis=0)
         loss = loss + jnp.sum(lvl ** 2) / size
     return loss
+
+
+def _packed_encode(table, x, spec: HashGridSpec, max_level: int):
+    """Packed-corner lookup: one row gather per (point, level); the row holds
+    the cell's 2^D corner features; trilinear weights applied in-register."""
+    D = spec.input_dim
+    C = spec.level_dim
+    B = x.shape[0]
+    n_corners = 1 << D
+
+    outs = []
+    for lvl, (res, offset, size, use_hash) in enumerate(spec.level_meta()):
+        if lvl >= max_level:
+            outs.append(jnp.zeros((B, C), dtype=table.dtype))
+            continue
+        if spec.align_corners:
+            pos = x * (res - 1)
+            pos_grid = jnp.minimum(jnp.floor(pos), res - 2).astype(jnp.int32)
+        else:
+            pos = jnp.clip(x * res - 0.5, 0.0, res - 1)
+            pos_grid = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - pos_grid
+        if spec.interpolation == "smoothstep":
+            frac = frac * frac * (3.0 - 2.0 * frac)
+
+        flat = offset + _level_index(pos_grid, res, size, use_hash, D)
+        rows = jnp.take(table, flat, axis=0)  # [B, 2^D * C]
+        rows = rows.reshape(B, n_corners, C).astype(jnp.float32)
+
+        # corner weights: bit d of corner index selects frac[d] vs 1-frac[d]
+        w = jnp.ones((B, n_corners), dtype=jnp.float32)
+        for d in range(D):
+            bit = jnp.asarray([(c >> d) & 1 for c in range(n_corners)],
+                              jnp.float32)
+            w = w * (bit * frac[:, d:d + 1] + (1.0 - bit) * (1.0 - frac[:, d:d + 1]))
+        outs.append(jnp.sum(w[..., None] * rows, axis=1).astype(table.dtype))
+    return jnp.concatenate(outs, axis=-1)
