@@ -157,6 +157,29 @@ def config_from_args(args) -> Config:
                        adaptive_num_rays=True)
 
 
+def load_init_params(path: str):
+    """Resolve --init_ckpt (cross-stage hand-off, main.py:249-256).
+
+    Accepts a workspace dir (uses <ws>/checkpoints/latest), a checkpoints
+    dir, or a direct orbax checkpoint path."""
+    from .train.checkpoints import CheckpointManager
+
+    candidates = []
+    if os.path.isdir(os.path.join(path, "checkpoints")):
+        candidates.append(("ws", path))
+    if os.path.basename(path.rstrip("/")) == "checkpoints":
+        candidates.append(("ws", os.path.dirname(path.rstrip("/"))))
+    for kind, ws in candidates:
+        restored = CheckpointManager(ws).restore("latest")
+        if restored is not None:
+            return restored.get("params", restored)
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(path)
+    return restored.get("params", restored) if isinstance(restored, dict) \
+        else restored
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
@@ -215,17 +238,7 @@ def main(argv=None):
 
     init_params = None
     if (cfg.with_sam or cfg.with_mask) and cfg.init_ckpt:
-        from .train.checkpoints import CheckpointManager
-
-        restored = CheckpointManager(
-            os.path.dirname(os.path.dirname(cfg.init_ckpt))
-            if cfg.init_ckpt.endswith("checkpoints") else cfg.init_ckpt
-        ).restore("latest")
-        if restored is None:
-            import orbax.checkpoint as ocp
-
-            restored = ocp.StandardCheckpointer().restore(cfg.init_ckpt)
-        init_params = restored["params"] if "params" in restored else restored
+        init_params = load_init_params(cfg.init_ckpt)
 
     trainer = Trainer("ngp", cfg, model, cfg.workspace,
                       use_checkpoint=cfg.ckpt, init_params=init_params)

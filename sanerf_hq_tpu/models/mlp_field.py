@@ -139,17 +139,27 @@ class MLPField(nn.Module):
         # contracted coords in [-grid_bound, grid_bound] -> [-1, 1]
         return x / self.grid_bound
 
+    @staticmethod
+    def _density_act(raw):
+        # forward-clamped exp density: exp dynamics learn geometry fast
+        # (softplus stalls in the white-background local optimum — see
+        # docs/PERF.md quality notes) while the clamp prevents the inf
+        # sigmas that NaN'd the unclamped trunc_exp on dense-MLP outputs.
+        from ..ops.trunc_exp import safe_trunc_exp
+
+        return safe_trunc_exp(raw)
+
     def common_forward(self, x):
         f = self.trunk(self._norm(x))
-        sigma = trunc_exp(f[..., 0])
+        sigma = self._density_act(f[..., 0])
         feat = f[..., 1:]
         return sigma, feat, f
 
     def density(self, x, proposal: int = -1):
         if proposal == 0:
-            return trunc_exp(self.prop_mlp_0(self._norm(x))[..., 0])
+            return self._density_act(self.prop_mlp_0(self._norm(x))[..., 0])
         if proposal == 1:
-            return trunc_exp(self.prop_mlp_1(self._norm(x))[..., 0])
+            return self._density_act(self.prop_mlp_1(self._norm(x))[..., 0])
         sigma, _, _ = self.common_forward(x)
         return sigma
 

@@ -55,16 +55,36 @@ def exp_decay_schedule(base_lr: float, total_iters: int) -> Callable:
     return schedule
 
 
+def scale_updates_by_tree(scales) -> optax.GradientTransformation:
+    """Per-leaf learning-rate multipliers (applied after Adam)."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        return jax.tree.map(lambda u, s: u * s, updates, scales), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(base_lr: float, total_iters: int,
-                   freeze_mask: Optional[Any] = None) -> optax.GradientTransformation:
+                   freeze_mask: Optional[Any] = None,
+                   lr_scales: Optional[Any] = None) -> optax.GradientTransformation:
     """Adam(eps=1e-15) with the reference's exponential decay.
 
     freeze_mask: pytree of bools matching params; True = frozen (gradient
-    zeroed), mirroring requires_grad=False in main.py:249-256."""
+    zeroed), mirroring requires_grad=False in main.py:249-256.
+    lr_scales: optional pytree of per-leaf lr multipliers — the flagship
+    MLP field needs ~20x lower lr on its dense kernels than the hash-table
+    lr the reference schedule was tuned for (hash embeddings tolerate 1e-2;
+    dense freq-MLPs saturate the deferred sigmoid color head into an
+    all-background local optimum at that lr — measured in docs/PERF.md)."""
     tx = optax.adam(
         learning_rate=exp_decay_schedule(base_lr, total_iters),
         b1=0.9, b2=0.999, eps=1e-15,
     )
+    if lr_scales is not None:
+        tx = optax.chain(tx, scale_updates_by_tree(lr_scales))
     if freeze_mask is not None:
         labels = jax.tree.map(lambda f: "frozen" if f else "train", freeze_mask)
         tx = optax.multi_transform(
@@ -73,10 +93,24 @@ def make_optimizer(base_lr: float, total_iters: int,
     return tx
 
 
+def mlp_field_lr_scales(params, mlp_scale: float = 0.05):
+    """lr-multiplier tree for MLPField: hash-table feature grids (s_grid /
+    m_grid) keep the base lr, dense kernels get mlp_scale x."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(params))
+    scales = {
+        k: (1.0 if any(p in ("s_grid", "m_grid") for p in k) else mlp_scale)
+        for k in flat
+    }
+    return flax.traverse_util.unflatten_dict(scales)
+
+
 def create_train_state(params, base_lr: float, total_iters: int,
                        freeze_mask: Optional[Any] = None,
-                       ema_decay: float = 0.95) -> TrainState:
-    tx = make_optimizer(base_lr, total_iters, freeze_mask)
+                       ema_decay: float = 0.95,
+                       lr_scales: Optional[Any] = None) -> TrainState:
+    tx = make_optimizer(base_lr, total_iters, freeze_mask, lr_scales)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

@@ -68,9 +68,16 @@ class Trainer:
             self.log(f"[INFO] loaded {len(loaded_keys)} param tensors from "
                      f"init checkpoint (frozen)")
 
+        lr_scales = None
+        from ..models.mlp_field import MLPField
+
+        if isinstance(model, MLPField):
+            from .state import mlp_field_lr_scales
+
+            lr_scales = mlp_field_lr_scales(params)
         self.state = create_train_state(
             params, base_lr=cfg.lr, total_iters=cfg.iters,
-            freeze_mask=freeze_mask,
+            freeze_mask=freeze_mask, lr_scales=lr_scales,
         )
 
         # resume

@@ -74,3 +74,43 @@ def test_eval_render_shapes(scene):
     assert out["image"].shape == (H * W, 3)
     assert out["depth"].shape == (H * W,)
     assert np.all(np.isfinite(np.asarray(out["image"])))
+
+
+def test_mlp_field_overfit_smoke(scene):
+    """The flagship MLP field must also learn (regression test for the
+    sigmoid-saturation collapse at hash-table lr; fixed by per-leaf lr
+    scaling, see train/state.py mlp_field_lr_scales)."""
+    from sanerf_hq_tpu.models import make_field
+    from sanerf_hq_tpu.train.state import mlp_field_lr_scales
+
+    cfg = Config(num_steps=(32, 16, 8), num_rays=512, iters=200,
+                 lambda_distort=0.0, bound=4.0, contract=True, min_near=0.05)
+    model = make_field("mlp", grid_bound=cfg.grid_bound, hidden=128,
+                       num_layers=3, freq_degree=6, prop_hidden=32,
+                       prop_layers=2, prop_freq_degree=4)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((4, 3)), jnp.ones((4, 3)))
+    state = create_train_state(params, base_lr=1e-2, total_iters=cfg.iters,
+                               lr_scales=mlp_field_lr_scales(params))
+    train_step = make_rgb_train_step(model, cfg, donate=False)
+
+    images = jnp.asarray(scene["images"])
+    poses = jnp.asarray(scene["poses"])
+    intr = jnp.asarray(scene["intrinsics"])
+
+    @jax.jit
+    def full_step(state, key):
+        kb, kr = jax.random.split(key)
+        batch = sample_rgb_batch(kb, images, poses, intr, cfg.num_rays)
+        batch["step"] = state.step
+        return train_step(state, batch, kr)
+
+    psnrs = []
+    for i in range(200):
+        key, sub = jax.random.split(key)
+        state, metrics = full_step(state, sub)
+        psnrs.append(float(metrics["psnr"]))
+    first = np.mean(psnrs[:10])
+    last = np.mean(psnrs[-10:])
+    assert np.isfinite(last)
+    assert last > first + 4.0, f"MLP field did not learn: {first:.2f} -> {last:.2f}"
