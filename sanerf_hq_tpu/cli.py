@@ -184,6 +184,18 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 
+    # fail fast on inconsistent flag combos (before any model/SAM build)
+    if cfg.decode and cfg.use_point and not cfg.point_file:
+        raise SystemExit(
+            "error: --decode --use_point requires --point_file "
+            "(3-D prompt json, see example_points.json)")
+    if cfg.decode and not cfg.with_sam:
+        raise SystemExit("error: --decode requires --with_sam")
+    if cfg.with_mask and not cfg.mask_root and not cfg.test:
+        raise SystemExit(
+            "error: --with_mask training requires --mask_root "
+            "(decode outputs directory)")
+
     from .data.provider import load_scene, split_indices, load_object_masks
     from .models import make_field
     from .train.trainer import Trainer
