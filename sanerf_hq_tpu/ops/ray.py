@@ -71,6 +71,17 @@ def sample_pdf(bins, weights, T: int, key=None):
     if key is not None:
         u = u + (jax.random.uniform(key, (N, T), dtype=u.dtype) - 0.5) / T
 
+    # Pallas fast path on TPU (forward-only; the caller stop-gradients the
+    # result, matching the reference's .detach() at nerf/renderer.py:273)
+    from .fused_mlp import PALLAS_ENABLED
+
+    if PALLAS_ENABLED:
+        from .sample_pdf_pallas import sample_pdf_lookup_pallas
+
+        return sample_pdf_lookup_pallas(
+            jax.lax.stop_gradient(cdf), jax.lax.stop_gradient(bins), u
+        )
+
     # TPU-first lookup: row-wise gathers (take_along_axis) lower to
     # scalar-issue XLA gathers and dominated the whole render.  Because both
     # cdf AND bins are monotone non-decreasing per row, the four lookups are
