@@ -53,8 +53,50 @@ def store_sam_features(trainer: Trainer, scene: Scene, sam_predictor,
     trainer.log(f"[INFO] stored SAM features to {out_dir}")
 
 
+def make_render_and_encode(trainer: Trainer, sam, R: int,
+                           img_size: int = 1024):
+    """ONE jitted function: render a full R x R frame from the NeRF and run
+    the SAM image encoder on it, entirely on-device.
+
+    The reference bounces the rendered frame through host numpy/uint8
+    between the two models (nerf/trainer.py:518-520 — SURVEY §7 'hard
+    parts'); here the uint8 quantization is reproduced on-device
+    (round(rgb*255)) and the resize/normalize/pad preprocessing happens in
+    the same XLA program as the render."""
+    import flax.linen as nn
+
+    from ..render.renderer import RenderSettings, render_staged
+    from ..sam.predictor import PIXEL_MEAN, PIXEL_STD
+
+    cfg = trainer.cfg
+    settings = RenderSettings(
+        num_steps=tuple(cfg.num_steps), use_contract=cfg.contract,
+        min_near=cfg.min_near, background=cfg.background, bound=cfg.bound,
+        max_ray_batch=cfg.max_ray_batch,
+    )
+    mean = jnp.asarray(PIXEL_MEAN)
+    std = jnp.asarray(PIXEL_STD)
+
+    @jax.jit
+    def render_and_encode(field_params, sam_params, rays_o, rays_d):
+        out = nn.apply(
+            lambda f, *a, **k: render_staged(f, *a, **k), trainer.model
+        )(field_params, rays_o, rays_d, settings)
+        rgb = jnp.clip(out["image"], 0.0, 1.0).reshape(R, R, 3)
+        img8 = jnp.round(rgb * 255.0)  # reproduce the uint8 quantization
+        img = jax.image.resize(img8, (img_size, img_size, 3), "bilinear")
+        img = (img - mean) / std
+        feats, interm = sam.encoder.apply(
+            {"params": sam_params["encoder"]}, img[None], return_interm=True
+        )
+        return feats[0], interm[0][0] if interm else None
+
+    return render_and_encode
+
+
 def train_sam_distill(trainer: Trainer, scene: Scene, sam_predictor,
-                      iters: Optional[int] = None):
+                      iters: Optional[int] = None,
+                      on_device: bool = False):
     """Distill mode (nerf/trainer.py:507-555): per step, render a full
     online_resolution frame from a random train pose with random fovy,
     encode it with SAM (or reuse the cache ring), then regress the 64x64
@@ -64,6 +106,10 @@ def train_sam_distill(trainer: Trainer, scene: Scene, sam_predictor,
     distill_step = make_sam_distill_step(trainer.model, cfg)
     cache = Cache(cfg.cache_size) if cfg.cache_size > 0 else None
     R = cfg.online_resolution
+    render_and_encode = None
+    if on_device:
+        render_and_encode = make_render_and_encode(
+            trainer, sam_predictor.sam, R, sam_predictor.img_size)
 
     step = int(trainer.state.step)
     while step < iters:
@@ -80,10 +126,14 @@ def train_sam_distill(trainer: Trainer, scene: Scene, sam_predictor,
             intr = np.asarray(sam_aug_intrinsics(k_fov, R))
             # hi-res render -> SAM encoder ground truth
             ro, rd = full_frame_rays(jnp.asarray(pose), jnp.asarray(intr), R, R)
-            out = trainer.eval_render(trainer.state.params, ro, rd)
-            rgb = (np.clip(np.asarray(out["image"]).reshape(R, R, 3), 0, 1)
-                   * 255).astype(np.uint8)
-            gt = sam_predictor.set_image(rgb)[0]  # [64, 64, 256]
+            if on_device:
+                gt, _ = render_and_encode(
+                    trainer.state.params, sam_predictor.sam.params, ro, rd)
+            else:
+                out = trainer.eval_render(trainer.state.params, ro, rd)
+                rgb = (np.clip(np.asarray(out["image"]).reshape(R, R, 3), 0, 1)
+                       * 255).astype(np.uint8)
+                gt = sam_predictor.set_image(rgb)[0]  # [64, 64, 256]
             # low-res 64x64 feature rays (provider.py:1091-1106)
             scale = R / 64.0
             ro_lr, rd_lr = full_frame_rays(

@@ -177,3 +177,42 @@ def test_regularizer_losses_finite_and_positive():
     assert wd > 0
     g = jax.grad(lambda t: weight_decay_loss(t, spec))(table)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_packed_encode_matches_manual_trilinear():
+    """Packed-corner mode: one row per cell holding all 2^D corner features;
+    output must equal manual trilinear interpolation of that row."""
+    spec = HashGridSpec(input_dim=3, num_levels=3, level_dim=2,
+                        base_resolution=4, log2_hashmap_size=8,
+                        per_level_scale=2.0, packed=True)
+    table = init_hash_table(jax.random.PRNGKey(0), spec)
+    assert table.shape[1] == 8 * 2
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 1, size=(16, 3)).astype(np.float32)
+    out = np.asarray(hash_encode_unit(table, jnp.asarray(x), spec))
+
+    from sanerf_hq_tpu.ops.hashgrid import _level_index
+
+    tab = np.asarray(table, np.float64)
+    for b in range(16):
+        for lvl, (res, offset, size, use_hash) in enumerate(spec.level_meta()):
+            pos = np.clip(x[b] * res - 0.5, 0, res - 1)
+            pg = np.floor(pos).astype(np.int64)
+            fr = pos - pg
+            flat = offset + int(np.asarray(
+                _level_index(jnp.asarray(pg)[None], res, size, use_hash, 3))[0])
+            row = tab[flat].reshape(8, 2)
+            acc = np.zeros(2)
+            for c in range(8):
+                w = 1.0
+                for d in range(3):
+                    w *= fr[d] if (c >> d) & 1 else (1 - fr[d])
+                acc += w * row[c]
+            np.testing.assert_allclose(out[b, lvl * 2:(lvl + 1) * 2], acc,
+                                       atol=1e-5)
+    # OOB still zero; grads flow
+    oob = hash_encode_unit(table, jnp.asarray([[1.5, 0.5, 0.5]]), spec)
+    assert np.all(np.asarray(oob) == 0)
+    g = jax.grad(lambda t: jnp.sum(
+        hash_encode_unit(t, jnp.asarray(x), spec)))(table)
+    assert float(jnp.sum(jnp.abs(g))) > 0

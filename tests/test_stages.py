@@ -142,3 +142,36 @@ def test_decode_pipeline(tmp_path):
     assert os.path.exists(os.path.join(out_dir, "a_obj_mask.npy"))
     m = np.load(os.path.join(out_dir, "a_obj_mask.npy"))
     assert m.shape == (1, 32, 32)  # reference layout (trainer.py:1770)
+
+
+def test_on_device_render_and_encode(tmp_path):
+    """Fused render->SAM-encode path (no host round-trip) matches the
+    host-loop set_image path on the same frame (tiny SAM)."""
+    from sanerf_hq_tpu.sam.predictor import SamPredictor
+    from sanerf_hq_tpu.train.trainer import Trainer
+    from sanerf_hq_tpu.train.stages import make_render_and_encode
+    from sanerf_hq_tpu.data import full_frame_rays
+    from tests.test_sam import tiny_sam
+
+    cfg = CFG.replace(max_ray_batch=256, online_resolution=32)
+    model = SANeRFField(grid_bound=cfg.grid_bound, **SMALL)
+    trainer = Trainer("t", cfg, model, str(tmp_path / "ws"),
+                      use_checkpoint="scratch")
+    sam = SamPredictor(tiny_sam(), img_size=64)
+    rae = make_render_and_encode(trainer, sam.sam, R=32, img_size=64)
+
+    scene = make_synthetic_dataset(n_views=1, H=32, W=32)
+    ro, rd = full_frame_rays(jnp.asarray(scene["poses"][0]),
+                             jnp.asarray(scene["intrinsics"]), 32, 32)
+    feats_dev, _ = rae(trainer.state.params, sam.sam.params, ro, rd)
+
+    # host path on the identical frame
+    out = trainer.eval_render(trainer.state.params, ro, rd)
+    rgb = (np.clip(np.asarray(out["image"]).reshape(32, 32, 3), 0, 1)
+           * 255).astype(np.uint8)
+    feats_host = sam.set_image(rgb)[0]
+    assert feats_dev.shape == feats_host.shape
+    # small diffs allowed: cv2 vs jax.image bilinear resize
+    diff = float(jnp.mean(jnp.abs(feats_dev - feats_host)))
+    scale = float(jnp.mean(jnp.abs(feats_host))) + 1e-8
+    assert diff / scale < 0.2, f"on-device encode deviates: {diff/scale:.3f}"
