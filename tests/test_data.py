@@ -203,3 +203,67 @@ def test_trajectory_synthesis():
     for p in interp:
         np.testing.assert_allclose(p[:3, :3] @ p[:3, :3].T, np.eye(3),
                                    atol=1e-5)
+
+
+def test_load_scene_colmap_mip(tmp_path):
+    """Full mip/COLMAP provider path: binary sparse model + images ->
+    Scene with centered/scaled poses and sparse-depth near/far."""
+    import struct
+    import cv2
+    from sanerf_hq_tpu.data.colmap import rotmat2qvec
+    from sanerf_hq_tpu.data.provider import load_scene
+    from sanerf_hq_tpu.data.synthetic import make_synthetic_dataset
+
+    root = str(tmp_path / "scene")
+    os.makedirs(root + "/images", exist_ok=True)
+    os.makedirs(root + "/sparse/0", exist_ok=True)
+    s = make_synthetic_dataset(n_views=6, H=32, W=32)
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(50, 3)) * 0.4
+
+    with open(root + "/sparse/0/cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, 32, 32))
+        fx, fy, cx, cy = s["intrinsics"]
+        f.write(struct.pack("<4d", fx, fy, cx, cy))
+    with open(root + "/sparse/0/images.bin", "wb") as f:
+        f.write(struct.pack("<Q", 6))
+        for i in range(6):
+            c2w = s["poses"][i].copy()
+            c2w[:3, 1] *= -1
+            c2w[:3, 2] *= -1  # GL -> CV convention
+            w2c = np.linalg.inv(c2w)
+            q = rotmat2qvec(w2c[:3, :3])
+            name = f"v{i:02d}.png"
+            cv2.imwrite(os.path.join(root, "images", name),
+                        (s["images"][i] * 255).astype(np.uint8))
+            f.write(struct.pack("<i", i + 1))
+            f.write(struct.pack("<4d", *q))
+            f.write(struct.pack("<3d", *w2c[:3, 3]))
+            f.write(struct.pack("<i", 1))
+            f.write(name.encode() + b"\x00")
+            ids = rng.integers(1, 51, size=10)
+            f.write(struct.pack("<Q", 10))
+            for pid in ids:
+                f.write(struct.pack("<ddq", 16.0, 16.0, int(pid)))
+    with open(root + "/sparse/0/points3D.bin", "wb") as f:
+        f.write(struct.pack("<Q", 50))
+        for i in range(50):
+            f.write(struct.pack("<Q", i + 1))
+            f.write(struct.pack("<3d", *pts[i]))
+            f.write(struct.pack("<3B", 1, 2, 3))
+            f.write(struct.pack("<d", 0.3))
+            f.write(struct.pack("<Q", 0))
+
+    scene = load_scene(root, data_type="mip", enable_cam_center=True)
+    assert scene.poses.shape == (6, 4, 4)
+    assert scene.images.shape == (6, 32, 32, 3)
+    assert scene.intrinsics.shape == (6, 4)
+    assert scene.cam_near_far is not None and scene.cam_near_far.shape == (6, 2)
+    assert np.all(scene.cam_near_far[:, 0] < scene.cam_near_far[:, 1])
+    # poses remain orthonormal after convention rectification
+    for p in scene.poses:
+        np.testing.assert_allclose(p[:3, :3] @ p[:3, :3].T, np.eye(3),
+                                   atol=1e-4)
+    # auto-scale puts the camera rig inside the unit-ish ball
+    assert np.linalg.norm(scene.poses[:, :3, 3], axis=-1).max() <= 1.0 + 1e-5
