@@ -11,13 +11,77 @@ mismeasurement (block_until_ready does not block on this platform).
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
 vs_baseline is vs the 2 Mrays/sec/chip north-star target.
 
-Env knobs: BENCH_FIELD=hashgrid|mlp (default mlp), BENCH_RAYS, BENCH_ITERS.
+Env knobs: BENCH_FIELD=hashgrid|hashgrid_packed|mlp (default mlp),
+BENCH_RAYS, BENCH_ITERS, BENCH_MODE=render|train.
 """
 import json
 import os
 import time
 
 import numpy as np
+
+
+def train_bench():
+    """steps/s + train Mrays/s of the full stage-1 step (flagship)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sanerf_hq_tpu.config import Config
+    from sanerf_hq_tpu.data import make_synthetic_dataset, sample_rgb_batch
+    from sanerf_hq_tpu.models import make_field
+    from sanerf_hq_tpu.train.state import create_train_state, mlp_field_lr_scales
+    from sanerf_hq_tpu.train.steps import make_rgb_train_step
+
+    field_type = os.environ.get("BENCH_FIELD", "mlp")
+    n_rays = int(os.environ.get("BENCH_RAYS", 4096))
+    iters = int(os.environ.get("BENCH_ITERS", 30))
+    cfg = Config(num_steps=(128, 64, 32), num_rays=n_rays, iters=5000,
+                 bound=128.0, contract=True, min_near=0.2,
+                 random_image_batch=True, lambda_distort=0.02)
+    model = make_field(field_type, grid_bound=cfg.grid_bound)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                        jnp.ones((4, 3)))
+    scales = mlp_field_lr_scales(params) if field_type == "mlp" else None
+    state = create_train_state(params, cfg.lr, cfg.iters, lr_scales=scales)
+    train_step = make_rgb_train_step(model, cfg, donate=False)
+    scene = make_synthetic_dataset(n_views=8, H=128, W=128)
+    images = jnp.asarray(scene["images"])
+    poses = jnp.asarray(scene["poses"])
+    intr = jnp.asarray(scene["intrinsics"])
+
+    @jax.jit
+    def chain(state, key, k):
+        def body(i, st):
+            kb, kr = jax.random.split(jax.random.fold_in(key, i))
+            batch = sample_rgb_batch(kb, images, poses, intr, cfg.num_rays)
+            batch["step"] = st.step
+            st, _ = train_step(st, batch, kr)
+            return st
+
+        return jax.lax.fori_loop(0, k, body, state)
+
+    def pull(st):
+        return float(jnp.sum(st.params["params"][
+            "trunk" if field_type == "mlp" else "grid"
+        ]["w0"] if field_type == "mlp" else st.params["params"]["grid"]))
+
+    st = chain(state, jax.random.PRNGKey(1), 1)
+    pull(st)
+    t0 = time.perf_counter()
+    st = chain(state, jax.random.PRNGKey(2), 1)
+    pull(st)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    st = chain(state, jax.random.PRNGKey(2), 1 + iters)
+    pull(st)
+    t2 = time.perf_counter() - t0
+    per = max((t2 - t1) / iters, 1e-9)
+    print(json.dumps({
+        "metric": f"train_step_{field_type}",
+        "value": round(1.0 / per, 2),
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(n_rays / per / 2e6, 4),
+    }))
 
 
 def main():
@@ -27,6 +91,9 @@ def main():
 
     from sanerf_hq_tpu.models import make_field
     from sanerf_hq_tpu.render import RenderSettings, render_rays
+
+    if os.environ.get("BENCH_MODE", "render") == "train":
+        return train_bench()
 
     field_type = os.environ.get("BENCH_FIELD", "mlp")
     n_rays = int(os.environ.get("BENCH_RAYS", 65536))
