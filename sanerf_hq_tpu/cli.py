@@ -143,6 +143,9 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native additions
     p.add_argument("--field_type", type=str, default="hashgrid",
                    choices=["hashgrid", "hashgrid_packed", "mlp"])
+    p.add_argument("--on_device_sam", action="store_true",
+                   help="fuse render->SAM-encode into one jitted program "
+                        "during distillation (no host round-trip)")
     return p
 
 
@@ -323,7 +326,9 @@ def main(argv=None):
         if cfg.feature_container == "cache":
             stages.store_sam_features(trainer, val_scene, sam_predictor)
         else:
-            stages.train_sam_distill(trainer, train_scene, sam_predictor)
+            stages.train_sam_distill(trainer, train_scene, sam_predictor,
+                                     on_device=getattr(args, "on_device_sam",
+                                                       False))
     elif cfg.with_mask:
         stages.train_mask(trainer, train_scene)
         stages.evaluate_masks(trainer, val_scene)
