@@ -287,16 +287,30 @@ def main(argv=None):
         # synthesized camera path rendering (provider.py:504-609)
         import copy
 
-        from .data.trajectory import synthesize_test_poses
+        from .data.trajectory import (
+            load_recorded_trajectories,
+            synthesize_test_poses,
+        )
 
-        traj = "circle" if cfg.circle else cfg.camera_traj
-        tposes = synthesize_test_poses(train_scene.poses, traj)
         tscene = copy.copy(scene)
         tscene.images = None
-        tscene.poses = tposes
-        tscene.intrinsics = (scene.intrinsics[0]
-                             if scene.intrinsics.ndim == 2 else scene.intrinsics)
-        tscene.img_names = np.array([f"traj_{i:04d}" for i in range(len(tposes))])
+        if cfg.trajectory_root and os.path.isdir(cfg.trajectory_root):
+            # replay GUI-recorded trajectories (provider.py:504-544)
+            tposes, tintr, tnames = load_recorded_trajectories(
+                cfg.trajectory_root)
+            tscene.poses = tposes
+            tscene.intrinsics = tintr
+            tscene.img_names = tnames
+            tscene.H = tscene.W = 1024
+        else:
+            traj = "circle" if cfg.circle else cfg.camera_traj
+            tposes = synthesize_test_poses(train_scene.poses, traj)
+            tscene.poses = tposes
+            tscene.intrinsics = (scene.intrinsics[0]
+                                 if scene.intrinsics.ndim == 2
+                                 else scene.intrinsics)
+            tscene.img_names = np.array(
+                [f"traj_{i:04d}" for i in range(len(tposes))])
         tscene.cam_near_far = None
         tscene.masks = None
         trainer.test(tscene,

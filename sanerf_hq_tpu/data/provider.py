@@ -146,6 +146,13 @@ def _load_transforms_json(root, data_type, downscale, scale, offset,
         transform = json.load(f)
     H, W = int(transform["h"]), int(transform["w"])
 
+    # 3D-FRONT: center offset from the ground-truth room bbox
+    # (provider.py:171-176)
+    if data_type == "3dfront" and "room_bbox" in transform:
+        bbox = np.array(transform["room_bbox"])
+        s = scale if scale != -1 else 1.0
+        offset = tuple(-(bbox[0] + bbox[1]) * 0.5 * s)
+
     img_folder = _find_img_folder(root, downscale)
     img_paths, poses, intrinsics = [], [], []
     intr = np.array([transform["fl_x"], transform["fl_y"], transform["cx"],

@@ -75,3 +75,31 @@ def synthesize_test_poses(train_poses, camera_traj: str = "interp",
     return interpolate_poses(
         train_poses, max(1, n_frames // max(len(train_poses) - 1, 1))
     )
+
+
+def load_recorded_trajectories(trajectory_root: str, interp_frames: int = 8,
+                               resolution: int = 1024, fovy_deg: float = 60.0):
+    """Replay GUI-recorded camera trajectories (reference
+    provider.py:504-544): each json in trajectory_root holds
+    {'trajectory': [[4x4 pose], ...]}; keyframes are slerp-interpolated
+    with `interp_frames` steps, rendered at 1024^2 fovy 60.
+
+    Returns (poses [N,4,4], intrinsics [4], img_names [N])."""
+    import json
+    import os
+
+    files = sorted(os.listdir(trajectory_root))
+    poses, names = [], []
+    for i, fname in enumerate(files):
+        with open(os.path.join(trajectory_root, fname)) as f:
+            data = json.load(f)
+        keyframes = [np.asarray(fr, np.float32).reshape(-1, 4, 4)[0]
+                     for fr in data["trajectory"]]
+        cur = interpolate_poses(np.stack(keyframes), interp_frames)
+        for j in range(len(cur)):
+            names.append(f"{i:04d}_{j:04d}")
+        poses.extend(cur)
+    focal = resolution / (2 * np.tan(0.5 * np.deg2rad(fovy_deg)))
+    intrinsics = np.array([focal, focal, resolution / 2, resolution / 2],
+                          np.float32)
+    return np.stack(poses), intrinsics, np.array(names)

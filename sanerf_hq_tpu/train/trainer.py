@@ -114,6 +114,24 @@ class Trainer:
     def train(self, scene: Scene, val_scene: Optional[Scene] = None,
               max_epoch: Optional[int] = None):
         cfg = self.cfg
+        if cfg.adaptive_num_rays and not cfg.with_sam and not cfg.with_mask:
+            # the reference rescales num_rays each step so that
+            # num_rays * num_steps[-1] == num_points (nerf/trainer.py:395-397)
+            # — with fixed proposal levels that recursion converges to a
+            # CONSTANT after one step, so we jump straight to the fixed
+            # point and keep shapes static (no recompiles)
+            target = max(1, cfg.num_points // cfg.num_steps[-1])
+            if target != cfg.num_rays:
+                self.log(f"[INFO] adaptive_num_rays: {cfg.num_rays} -> "
+                         f"{target} (num_points {cfg.num_points} / "
+                         f"final-level samples {cfg.num_steps[-1]})")
+                cfg = cfg.replace(num_rays=target)
+                self.cfg = cfg
+                # train step closure captures cfg.num_rays only through the
+                # batch shapes; rebuild to be safe
+                self.train_step = make_rgb_train_step(self.model, cfg,
+                                                      donate=False)
+                self._full_step = None
         images = jnp.asarray(scene.images)
         poses = jnp.asarray(scene.poses)
         intr = jnp.asarray(

@@ -267,3 +267,21 @@ def test_load_scene_colmap_mip(tmp_path):
                                    atol=1e-4)
     # auto-scale puts the camera rig inside the unit-ish ball
     assert np.linalg.norm(scene.poses[:, :3, 3], axis=-1).max() <= 1.0 + 1e-5
+
+
+def test_recorded_trajectory_replay(tmp_path):
+    import json
+    from sanerf_hq_tpu.data.trajectory import load_recorded_trajectories
+
+    root = str(tmp_path / "traj")
+    os.makedirs(root)
+    poses = [look_at_pose([2, 0.3, 0]), look_at_pose([0, 0.3, 2]),
+             look_at_pose([-2, 0.3, 0])]
+    with open(os.path.join(root, "t0.json"), "w") as f:
+        json.dump({"trajectory": [[p.tolist()] for p in poses]}, f)
+    out_poses, intr, names = load_recorded_trajectories(root, interp_frames=4)
+    assert out_poses.shape[0] == 10  # (3-1 segments) * (4+1 frames)
+    assert names[0] == "0000_0000"
+    for p in out_poses:
+        np.testing.assert_allclose(p[:3, :3] @ p[:3, :3].T, np.eye(3),
+                                   atol=1e-4)

@@ -175,3 +175,38 @@ def test_on_device_render_and_encode(tmp_path):
     diff = float(jnp.mean(jnp.abs(feats_dev - feats_host)))
     scale = float(jnp.mean(jnp.abs(feats_host))) + 1e-8
     assert diff / scale < 0.2, f"on-device encode deviates: {diff/scale:.3f}"
+
+
+def test_error_map_guided_sampling_distribution():
+    """High-error cells must be sampled far more often than low-error cells
+    (error-map importance sampling, nerf/utils.py:247-258)."""
+    scene = make_synthetic_dataset(n_views=2, H=32, W=32)
+    poses = jnp.asarray(scene["poses"])
+    intr = jnp.asarray(scene["intrinsics"])
+    masks = jnp.zeros((2, 32, 32), jnp.int32)
+    S = 16
+    em = jnp.full((2, S * S), 1e-4)
+    hot = 37  # one hot cell per view
+    em = em.at[:, hot].set(1.0)
+    batch = sample_mask_batch(jax.random.PRNGKey(0), masks, poses, intr, em,
+                              512, 1, 2, 32, 32, S)
+    frac_hot = float(jnp.mean(batch["inds_coarse"] == hot))
+    assert frac_hot > 0.9, f"hot cell sampled only {frac_hot:.2f}"
+
+
+def test_adaptive_num_rays_steady_state(tmp_path):
+    """adaptive_num_rays jumps to num_points // final-level samples
+    (fixed point of nerf/trainer.py:395-397)."""
+    from sanerf_hq_tpu.train.trainer import Trainer
+    from sanerf_hq_tpu.data.provider import Scene
+
+    cfg = CFG.replace(adaptive_num_rays=True, num_points=1024,
+                      num_steps=(8, 4, 4), num_rays=64, iters=2)
+    model = SANeRFField(grid_bound=cfg.grid_bound, **SMALL)
+    t = Trainer("t", cfg, model, str(tmp_path / "ws"), use_checkpoint="scratch")
+    s = make_synthetic_dataset(n_views=2, H=16, W=16)
+    scene = Scene(images=s["images"], poses=s["poses"],
+                  intrinsics=s["intrinsics"], H=16, W=16,
+                  img_names=np.array(["a", "b"]))
+    t.train(scene, max_epoch=1)
+    assert t.cfg.num_rays == 1024 // 4
