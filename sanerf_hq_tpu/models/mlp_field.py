@@ -172,6 +172,37 @@ class MLPField(nn.Module):
     def apply_view_mlp(self, f_image):
         return self.view_mlp(f_image)
 
+    # inference megakernel support (ops/render_level_pallas.py)
+    supports_fused_final = True
+
+    def fused_prop_weights(self, rays_o, rays_d, real_bins, proposal: int,
+                           opaque_last: bool = True):
+        from ..ops.render_level_pallas import fused_prop_level
+
+        mlp = self.prop_mlp_0 if proposal == 0 else self.prop_mlp_1
+        ws = [mlp.variables["params"][f"w{l}"]
+              for l in range(self.prop_layers)]
+        return fused_prop_level(rays_o, rays_d, real_bins, ws,
+                                self.prop_freq_degree, self.grid_bound,
+                                opaque_last=opaque_last)
+
+    def fused_final_render(self, rays_o, rays_d, real_bins,
+                           opaque_last: bool = True):
+        """Final render level fused into one Pallas kernel (geometry +
+        trunk + compositing in VMEM).  Returns (f_image [N, 31], depth [N],
+        weights_sum [N])."""
+        from ..ops.render_level_pallas import fused_final_level
+
+        d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        sh = sh_encode(d, SH_DEGREE)  # [N, 16] per-ray
+        ws = [self.trunk.variables["params"][f"w{l}"]
+              for l in range(self.num_layers)]
+        return fused_final_level(
+            rays_o, rays_d, real_bins, sh, ws, self.freq_degree,
+            skip_layer=self.num_layers // 2, grid_bound=self.grid_bound,
+            opaque_last=opaque_last,
+        )
+
     def sam_features(self, x):
         return hash_encode(self.s_grid_table, x, self.s_spec, bound=self.grid_bound)
 

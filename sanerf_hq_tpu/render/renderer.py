@@ -105,6 +105,20 @@ def render_rays(
         list(jax.random.split(key, n_levels)) if key is not None else [None] * n_levels
     )
 
+    # inference megakernel: the whole final level (geometry + trunk MLP +
+    # compositing) as ONE Pallas kernel when the field supports it and no
+    # per-sample side outputs are needed (ops/render_level_pallas.py)
+    from ..ops.fused_mlp import PALLAS_ENABLED
+
+    fused_final = (
+        PALLAS_ENABLED
+        and not settings.training
+        and not settings.return_feats
+        and not settings.return_mask
+        and getattr(field, "supports_fused_final", False)
+    )
+    fused_out = None
+
     for level, T in enumerate(settings.num_steps):
         if level == 0:
             bins = jnp.linspace(0.0, 1.0, T + 1, dtype=jnp.float32)
@@ -121,6 +135,19 @@ def render_rays(
             )
 
         real_bins = spacing_fn_inv(s_nears * (1.0 - bins) + s_fars * bins)  # [N, T+1]
+        if fused_final and level == n_levels - 1:
+            fused_out = field.fused_final_render(
+                rays_o, rays_d, real_bins,
+                opaque_last=(settings.background == "last_sample"),
+            )
+            break
+        if fused_final and level < n_levels - 1:
+            # proposal megakernel: weights straight out of VMEM
+            weights = field.fused_prop_weights(
+                rays_o, rays_d, real_bins, proposal=level,
+                opaque_last=(settings.background == "last_sample"),
+            )
+            continue
         rays_t = (real_bins[..., 1:] + real_bins[..., :-1]) / 2.0  # [N, T]
         xyzs = rays_o[:, None, :] + rays_d[:, None, :] * rays_t[..., None]  # [N,T,3]
         if settings.use_contract:
@@ -144,9 +171,12 @@ def render_rays(
             all_weights.append(weights)
 
     # composite
-    weights_sum = jnp.sum(weights, axis=-1)  # [N]
-    depth = jnp.sum(weights * rays_t, axis=-1)  # [N]
-    f_image = jnp.sum(weights[..., None] * colors, axis=-2)  # [N, 31]
+    if fused_out is not None:
+        f_image, depth, weights_sum = fused_out
+    else:
+        weights_sum = jnp.sum(weights, axis=-1)  # [N]
+        depth = jnp.sum(weights * rays_t, axis=-1)  # [N]
+        f_image = jnp.sum(weights[..., None] * colors, axis=-2)  # [N, 31]
     image = jax.nn.sigmoid(field.apply_view_mlp(f_image))  # [N, 3]
 
     if settings.training:
