@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_mlp import _freq_expansion_matrix
 
-R_TILE = 2048  # rays per grid step
+R_TILE = 4096  # rays per grid step
 
 
 def _make_kernel(T: int, n_layers: int, skip_layer: int, freq_degree: int,
