@@ -318,7 +318,7 @@ def _load_colmap(root, downscale, scale, enable_cam_center, bound, load_images):
 
     # per-view near/far from visible sparse points (provider.py:464-502)
     cam_near_far = _sparse_depth_near_far(
-        imdata, imkeys, ptsdata, ptskeys, poses, pts3d
+        imdata, imkeys, ptsdata, ptskeys, poses, pts3d, camdata
     )
 
     images = _stack_images(list(img_paths), H, W) if load_images else None
@@ -326,27 +326,41 @@ def _load_colmap(root, downscale, scale, enable_cam_center, bound, load_images):
                  img_names, cam_near_far, None, pts_aabb, scale, transforms)
 
 
-def _sparse_depth_near_far(imdata, imkeys, ptsdata, ptskeys, poses, pts3d):
-    """Per-view [near, far] from the depths of its visible sparse points
-    (provider.py:464-502: 1%/99% percentiles with safety margins)."""
+def _sparse_depth_near_far(imdata, imkeys, ptsdata, ptskeys, poses, pts3d,
+                           camdata=None):
+    """Per-view [near, far] from the depths of its visible sparse points,
+    reference-parity semantics (provider.py:464-502):
+      - keep only points with point3D_id != -1 whose keypoint xys falls
+        inside the ORIGINAL-resolution image bounds,
+      - depth = (cam_origin - point) . cam_z_axis on the rectified poses,
+      - [near, far] = [min(depth), max(depth)] (the percentile variant is
+        commented out in the reference).
+    Views with no valid point fall back to [0.05, 1e3] (the reference
+    asserts instead; a graceful fallback keeps partial scenes loadable)."""
     if not len(ptskeys):
         return None
-    key_to_idx = {k: i for i, k in enumerate(ptskeys)}
+    # map colmap point key -> dense array index (provider.py:467-469)
+    key_to_id = np.full(int(ptskeys.max()) + 2, -1, dtype=np.int64)
+    key_to_id[ptskeys] = np.arange(len(ptskeys))
     out = []
     for i, k in enumerate(imkeys):
-        ids = [key_to_idx[p] for p in imdata[k].point3D_ids if p in key_to_idx]
-        if not ids:
+        im = imdata[k]
+        pids = np.asarray(im.point3D_ids)
+        mask = pids != -1
+        xys = np.asarray(im.xys, np.float64)
+        if camdata is not None and xys.shape[0] == pids.shape[0]:
+            cam = camdata[im.camera_id]
+            # xys is (x, y) at original resolution (provider.py:472-478)
+            mask &= ((xys[:, 0] >= 0) & (xys[:, 0] < cam.width)
+                     & (xys[:, 1] >= 0) & (xys[:, 1] < cam.height))
+        ids = key_to_id[np.clip(pids[mask], 0, len(key_to_id) - 1)]
+        ids = ids[ids >= 0]
+        if ids.size == 0:
             out.append(np.array([0.05, 1e3], np.float32))
             continue
-        pts_cam = (pts3d[ids] - poses[i, :3, 3]) @ poses[i, :3, :3]
-        depth = -pts_cam[:, 2]  # camera looks along -z
-        depth = depth[depth > 0]
-        if depth.size == 0:
-            out.append(np.array([0.05, 1e3], np.float32))
-            continue
-        near = np.percentile(depth, 0.1) * 0.5
-        far = np.percentile(depth, 99.9) * 5.0
-        out.append(np.array([max(near, 0.01), far], np.float32))
+        # depth = (P[:3,3] - pts) @ P[:3,2]  (provider.py:492)
+        depth = (poses[i, :3, 3] - pts3d[ids]) @ poses[i, :3, 2]
+        out.append(np.array([depth.min(), depth.max()], np.float32))
     return np.stack(out)
 
 

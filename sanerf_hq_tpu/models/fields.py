@@ -74,6 +74,32 @@ def prop_grid_spec(desired_resolution: int) -> HashGridSpec:
     )
 
 
+def active_reg_grid(model, stage: str):
+    """Resolve which hash table TV/WD regularization applies to for the
+    given stage ('rgb' | 'sam' | 'mask'), mirroring the reference dispatch
+    apply_total_variation / apply_weight_decay (nerf/network.py:189-203):
+    with_sam -> s_grid, with_mask -> m_grid, else the main grid.
+
+    Returns (param_name, HashGridSpec) or None when the model has no hash
+    table for that stage (e.g. the MLP flagship field)."""
+    import dataclasses as _dc
+
+    if not isinstance(model, SANeRFField):
+        return None
+    pack = (lambda s: _dc.replace(s, packed=True)) if model.packed else (lambda s: s)
+    if stage == "sam":
+        if not model.with_sam:
+            return None
+        return "s_grid", pack(model.feat_spec or feature_grid_spec())
+    if stage == "mask":
+        if not model.with_mask:
+            return None
+        if model.mask_mlp_type == "default":
+            return "m_grid", pack(model.feat_spec or feature_grid_spec())
+        return "m_grid", lightweight_mask_grid_spec()
+    return "grid", pack(model.main_spec or main_grid_spec(model.grid_bound))
+
+
 class SANeRFField(nn.Module):
     """All fields & MLPs; pure function of (params, coords)."""
 

@@ -234,6 +234,21 @@ def render_instance_mask(trainer: Trainer, pose, intrinsics, H, W,
         np.asarray(out["depth"]).reshape(H, W)
 
 
+def downscale_intrinsics(intr, H: int, W: int, S: int):
+    """Anisotropic downscale of [fx, fy, cx, cy] so an S x S render is
+    pixel-aligned with cv2.resize(image, (S, S)) — correct for W != H
+    (e.g. every Mip-NeRF 360 view): a world point projecting to (u, v) at
+    full resolution projects to (u*S/W, v*S/H) in the small view.
+
+    Deliberate divergence from the reference, whose collate_depth renders
+    with a fixed fovy-60 square camera (nerf/provider.py:865-875) that is
+    geometrically inconsistent with the resized gt masks it is compared
+    against (nerf/trainer.py:1421)."""
+    fx, fy, cx, cy = np.asarray(intr, np.float32)
+    sx, sy = S / W, S / H
+    return np.array([fx * sx, fy * sy, cx * sx, cy * sy], np.float32)
+
+
 def update_error_map(trainer: Trainer, scene: Scene, masks, poses, intr,
                      H, W):
     """Re-render all views at error_map_size and rebuild the error map
@@ -243,10 +258,7 @@ def update_error_map(trainer: Trainer, scene: Scene, masks, poses, intr,
     V = poses.shape[0]
     import cv2
 
-    scale = S / H
-    small_intr = np.asarray(intr) * scale
-    small_intr = np.array([small_intr[0], small_intr[1], S / 2, S / 2],
-                          np.float32)
+    small_intr = downscale_intrinsics(intr, H, W, S)
     err_rows = []
     masks_np = np.asarray(masks)
     for i in range(V):

@@ -24,8 +24,35 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
+from ..models.fields import active_reg_grid
+from ..ops.hashgrid import total_variation_loss, weight_decay_loss
 from ..render.renderer import RenderSettings, render_rays
 from .state import TrainState
+
+
+def _grid_regularizers(model, cfg: Config, stage: str):
+    """Build a (params, key) -> loss term for --lambda_tv / --lambda_wd,
+    applied to the stage's active hash grid (nerf/trainer.py:558-568 →
+    nerf/network.py:189-203).  Returns None when both lambdas are zero or
+    the model has no hash table (MLP flagship)."""
+    if cfg.lambda_tv <= 0 and cfg.lambda_wd <= 0:
+        return None
+    reg = active_reg_grid(model, stage)
+    if reg is None:
+        return None
+    name, spec = reg
+
+    def reg_loss(params, key):
+        table = params["params"][name]
+        loss = 0.0
+        if cfg.lambda_tv > 0:
+            loss = loss + cfg.lambda_tv * total_variation_loss(
+                table, spec, key, bound=cfg.grid_bound)
+        if cfg.lambda_wd > 0:
+            loss = loss + cfg.lambda_wd * weight_decay_loss(table, spec)
+        return loss
+
+    return reg_loss
 
 
 def _render_apply(model, params, rays_o, rays_d, settings, key, bg_color,
@@ -49,6 +76,7 @@ def make_rgb_train_step(model, cfg: Config, donate: bool = True):
         training=True,
         compute_losses=(cfg.lambda_proposal > 0 or cfg.lambda_distort > 0),
     )
+    reg_loss = _grid_regularizers(model, cfg, "rgb")
 
     def loss_fn(params, batch, key):
         step = batch["step"]
@@ -86,6 +114,8 @@ def make_rgb_train_step(model, cfg: Config, donate: bool = True):
             w = jnp.clip(out["weights_sum"], 1e-5, 1 - 1e-5)
             entropy = -w * jnp.log2(w) - (1 - w) * jnp.log2(1 - w)
             loss = loss + cfg.lambda_entropy * jnp.mean(entropy)
+        if reg_loss is not None:
+            loss = loss + reg_loss(params, jax.random.fold_in(key, 2))
         metrics["loss"] = loss
         metrics["psnr"] = -10.0 * jnp.log10(jnp.maximum(metrics["mse"], 1e-10))
         return loss, metrics
@@ -119,6 +149,7 @@ def make_sam_distill_step(model, cfg: Config, feat_hw: int = 64):
         return_feats=True,
         sam_use_view_direction=cfg.sam_use_view_direction,
     )
+    reg_loss = _grid_regularizers(model, cfg, "sam")
 
     def loss_fn(params, batch, key):
         out = _render_apply(
@@ -132,7 +163,10 @@ def make_sam_distill_step(model, cfg: Config, feat_hw: int = 64):
             pred = jax.image.resize(pred, (*gt.shape[:2], pred.shape[-1]),
                                     method="bilinear")
         loss = jnp.mean((pred - gt) ** 2)
-        return loss, {"loss": loss, "mse": loss}
+        mse = loss
+        if reg_loss is not None:
+            loss = loss + reg_loss(params, jax.random.fold_in(key, 2))
+        return loss, {"loss": loss, "mse": mse}
 
     @jax.jit
     def distill_step(state: TrainState, batch, key):
@@ -233,6 +267,7 @@ def make_mask_train_step(model, cfg: Config):
     Ng = cfg.num_rays
     Nl = cfg.num_local_sample * cfg.local_sample_patch_size ** 2
     eps = cfg.epsilon
+    reg_loss = _grid_regularizers(model, cfg, "mask")
 
     def loss_fn(params, batch, key, error_map):
         out = _render_apply(
@@ -288,6 +323,8 @@ def make_mask_train_step(model, cfg: Config):
             loss = loss + cfg.ray_pair_rgb_loss_weight * gate * rp
             metrics["ray_pair"] = rp
 
+        if reg_loss is not None:
+            loss = loss + reg_loss(params, jax.random.fold_in(key, 2))
         metrics["loss"] = loss
         pred_labels = jnp.argmax(probs, axis=-1)
         acc = jnp.sum((pred_labels[:Ng] == g_gt) * labeled) / jnp.maximum(

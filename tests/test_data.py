@@ -285,3 +285,28 @@ def test_recorded_trajectory_replay(tmp_path):
     for p in out_poses:
         np.testing.assert_allclose(p[:3, :3] @ p[:3, :3].T, np.eye(3),
                                    atol=1e-4)
+
+
+def test_sparse_depth_near_far_parity():
+    """Reference-parity semantics (provider.py:464-502): xys out-of-bounds
+    keypoints are excluded, near/far = min/max of visible-point depths
+    along the camera z column (no percentiles, no margins)."""
+    from sanerf_hq_tpu.data.colmap import Camera, Image
+    from sanerf_hq_tpu.data.provider import _sparse_depth_near_far
+
+    cam = Camera(1, "PINHOLE", width=100, height=80, params=[50, 50, 50, 40])
+    # identity pose at origin; depth of a point = (0 - p) . z_axis = -p_z
+    pose = np.eye(4, dtype=np.float64)
+    pts3d = np.array([[0, 0, -2.0], [0, 0, -5.0], [0, 0, -9.0],
+                      [0, 0, -50.0]])
+    ptskeys = np.array([10, 11, 12, 13], np.int64)
+    # keypoint 3 (depth 50) is OUT of image bounds -> must be excluded;
+    # one id is -1 -> excluded
+    xys = np.array([[10.0, 10.0], [20.0, 20.0], [99.0, 79.0], [150.0, 10.0],
+                    [5.0, 5.0]])
+    p3d = np.array([10, 11, 12, 13, -1], np.int64)
+    im = Image(1, np.array([1, 0, 0, 0.0]), np.zeros(3), 1, "a.png", xys, p3d)
+    ptsdata = {k: None for k in ptskeys}
+    nf = _sparse_depth_near_far({1: im}, [1], ptsdata, ptskeys,
+                                pose[None], pts3d, {1: cam})
+    np.testing.assert_allclose(nf[0], [2.0, 9.0], rtol=1e-6)

@@ -194,6 +194,51 @@ def test_error_map_guided_sampling_distribution():
     assert frac_hot > 0.9, f"hot cell sampled only {frac_hot:.2f}"
 
 
+def test_downscale_intrinsics_nonsquare():
+    """A world point projecting to (u, v) full-res must project to
+    (u*S/W, v*S/H) in the downscaled camera (VERDICT r1 weak #6: the old
+    code used one scale = S/H and cx = cy = S/2, wrong for W != H)."""
+    from sanerf_hq_tpu.train.stages import downscale_intrinsics
+
+    H, W, S = 48, 64, 16
+    fx, fy, cx, cy = 80.0, 70.0, 30.0, 25.0  # deliberately off-center
+    small = downscale_intrinsics([fx, fy, cx, cy], H, W, S)
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(20, 3)) + np.array([0, 0, 3.0])  # in front of cam
+    u_f = fx * pts[:, 0] / pts[:, 2] + cx
+    v_f = fy * pts[:, 1] / pts[:, 2] + cy
+    u_s = small[0] * pts[:, 0] / pts[:, 2] + small[2]
+    v_s = small[1] * pts[:, 1] / pts[:, 2] + small[3]
+    np.testing.assert_allclose(u_s, u_f * S / W, rtol=1e-5)
+    np.testing.assert_allclose(v_s, v_f * S / H, rtol=1e-5)
+
+
+def test_update_error_map_nonsquare(tmp_path):
+    """update_error_map must work on W != H views (stage-3 on Mip-360)."""
+    from sanerf_hq_tpu.train.trainer import Trainer
+    from sanerf_hq_tpu.train.stages import update_error_map
+    from sanerf_hq_tpu.data.provider import Scene
+
+    cfg = CFG.replace(with_mask=True, max_ray_batch=256, error_map_size=8)
+    model = SANeRFField(grid_bound=cfg.grid_bound, with_mask=True,
+                        n_inst=cfg.n_inst, **SMALL)
+    trainer = Trainer("t", cfg, model, str(tmp_path / "ws"),
+                      use_checkpoint="scratch")
+    H, W, V = 24, 32, 2
+    s = make_synthetic_dataset(n_views=V, H=H, W=W)
+    scene = Scene(images=s["images"], poses=s["poses"],
+                  intrinsics=s["intrinsics"], H=H, W=W,
+                  img_names=np.array(["a", "b"]))
+    rng = np.random.default_rng(0)
+    masks = rng.integers(0, cfg.n_inst, size=(V, H, W)).astype(np.int32)
+    em = update_error_map(trainer, scene, masks, s["poses"],
+                          s["intrinsics"], H, W)
+    S = cfg.error_map_size
+    em = np.asarray(em)
+    assert em.shape == (V, S * S)
+    assert np.all(np.isfinite(em)) and np.all(em >= 0)
+
+
 def test_adaptive_num_rays_steady_state(tmp_path):
     """adaptive_num_rays jumps to num_points // final-level samples
     (fixed point of nerf/trainer.py:395-397)."""
