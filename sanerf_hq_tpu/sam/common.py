@@ -14,6 +14,13 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+def gelu(x):
+    """Exact (erf) GELU — torch nn.GELU's default.  flax nn.gelu defaults
+    to the tanh approximation, which diverges from the SAM checkpoints'
+    training-time activation by up to ~1e-3."""
+    return nn.gelu(x, approximate=False)
+
+
 class LayerNorm2d(nn.Module):
     """Channel-wise LayerNorm over NCHW-style channel axis; here we keep
     NHWC and normalize the last axis with eps 1e-6 (matches the torch
@@ -33,7 +40,7 @@ class LayerNorm2d(nn.Module):
 
 class MLPBlock(nn.Module):
     mlp_dim: int
-    act: Callable = nn.gelu
+    act: Callable = gelu
 
     @nn.compact
     def __call__(self, x):

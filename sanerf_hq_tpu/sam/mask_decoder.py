@@ -12,7 +12,7 @@ from typing import List, Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .common import LayerNorm2d, MLPHead
+from .common import LayerNorm2d, MLPHead, gelu
 from .transformer import TwoWayTransformer
 
 
@@ -75,8 +75,8 @@ class MaskDecoder(nn.Module):
         h, w = image_embeddings.shape[1:3]
         src_img = src_out.reshape(B, h, w, -1)
         up = self.upscale_conv1(src_img)
-        up = nn.gelu(self.upscale_ln(up))
-        up = nn.gelu(self.upscale_conv2(up))  # [B, 4H, 4W, C/8]
+        up = gelu(self.upscale_ln(up))
+        up = gelu(self.upscale_conv2(up))  # [B, 4H, 4W, C/8]
 
         hyper_in = jnp.stack([
             self.output_hypernetworks_mlps[i](mask_tokens_out[:, i])
@@ -169,8 +169,8 @@ class MaskDecoderHQ(nn.Module):
         h, w = image_embeddings.shape[1:3]
         src_img = src_out.reshape(B, h, w, -1)
         up = self.base.upscale_conv1(src_img)
-        up = nn.gelu(self.base.upscale_ln(up))
-        up = nn.gelu(self.base.upscale_conv2(up))
+        up = gelu(self.base.upscale_ln(up))
+        up = gelu(self.base.upscale_conv2(up))
         up_hq = self._embedding_maskfeature(up) + hq_feature
 
         hypers = []
@@ -203,15 +203,15 @@ class MaskDecoderHQ(nn.Module):
 
     def _compress_vit(self, x):
         y = self.compress_vit_conv1(x)
-        y = nn.gelu(self.compress_vit_ln(y))
+        y = gelu(self.compress_vit_ln(y))
         return self.compress_vit_conv2(y)
 
     def _embedding_encoder(self, x):
         y = self.embedding_encoder_conv1(x)
-        y = nn.gelu(self.embedding_encoder_ln(y))
+        y = gelu(self.embedding_encoder_ln(y))
         return self.embedding_encoder_conv2(y)
 
     def _embedding_maskfeature(self, x):
         y = self.embedding_maskfeature_conv1(x)
-        y = nn.gelu(self.embedding_maskfeature_ln(y))
+        y = gelu(self.embedding_maskfeature_ln(y))
         return self.embedding_maskfeature_conv2(y)

@@ -9,7 +9,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from .common import LayerNorm2d
+from .common import LayerNorm2d, gelu
 
 
 class PositionEmbeddingRandom(nn.Module):
@@ -105,9 +105,9 @@ class PromptEncoder(nn.Module):
     def _embed_masks(self, masks):
         """masks: [B, 4*H, 4*W, 1] -> [B, H, W, C]."""
         x = self.mask_conv1(masks)
-        x = nn.gelu(self.mask_ln1(x))
+        x = gelu(self.mask_ln1(x))
         x = self.mask_conv2(x)
-        x = nn.gelu(self.mask_ln2(x))
+        x = gelu(self.mask_ln2(x))
         return self.mask_conv3(x)
 
     def __call__(self, points=None, labels=None, boxes=None, masks=None):

@@ -44,7 +44,9 @@ class TwoWayAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, queries, keys, query_pe, key_pe):
         if self.skip_first_layer_pe:
-            queries = queries + AttentionDS(
+            # first layer REPLACES queries with the attention output — no
+            # residual (sam transformer.py TwoWayAttentionBlock.forward)
+            queries = AttentionDS(
                 self.embedding_dim, self.num_heads, name="self_attn"
             )(queries, queries, queries)
         else:
@@ -63,7 +65,10 @@ class TwoWayAttentionBlock(nn.Module):
         )(q, k, keys)
         queries = nn.LayerNorm(epsilon=1e-5, name="norm2")(queries)
 
-        queries = queries + MLPBlock(self.mlp_dim, name="mlp")(queries)
+        # the two-way transformer's MLP uses ReLU (sam-hq transformer.py,
+        # TwoWayAttentionBlock activation default), unlike the ViT blocks
+        queries = queries + MLPBlock(self.mlp_dim, act=nn.relu,
+                                     name="mlp")(queries)
         queries = nn.LayerNorm(epsilon=1e-5, name="norm3")(queries)
 
         q = queries + query_pe
