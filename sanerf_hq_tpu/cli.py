@@ -343,6 +343,8 @@ def main(argv=None):
             stages.train_sam_distill(trainer, train_scene, sam_predictor,
                                      on_device=getattr(args, "on_device_sam",
                                                        False))
+            # stage-2 eval: rendered-feature MSE (nerf/trainer.py:648-691)
+            stages.evaluate_sam_features(trainer, val_scene, sam_predictor)
     elif cfg.with_mask:
         stages.train_mask(trainer, train_scene)
         stages.evaluate_masks(trainer, val_scene)

@@ -53,6 +53,54 @@ def store_sam_features(trainer: Trainer, scene: Scene, sam_predictor,
     trainer.log(f"[INFO] stored SAM features to {out_dir}")
 
 
+def evaluate_sam_features(trainer: Trainer, scene: Scene, sam_predictor,
+                          max_views: Optional[int] = None,
+                          save_dir: Optional[str] = None):
+    """Stage-2 eval: rendered-feature MSE (nerf/trainer.py:648-691).
+
+    Per view: render full-res RGB from the NeRF -> SAM-encode it for the
+    ground-truth features; render the 64x64 feature map from the s_grid
+    field; bilinear-resize the prediction to the gt grid and report MSE."""
+    from .metrics import MSEMeter
+
+    cfg = trainer.cfg
+    if not hasattr(trainer, "_feat_render"):
+        trainer._feat_render = make_eval_render(trainer.model, cfg,
+                                                return_feats=True)
+    meter = MSEMeter()
+    n = scene.poses.shape[0] if max_views is None else min(
+        max_views, scene.poses.shape[0])
+    for i in range(n):
+        intr = np.asarray(scene.intrinsics[i] if scene.intrinsics.ndim == 2
+                          else scene.intrinsics, np.float32)
+        H, W = scene.H, scene.W
+        out = trainer.render_view(scene.poses[i], intr, H, W)
+        rgb = (np.clip(out["image"].reshape(H, W, 3), 0, 1)
+               * 255).astype(np.uint8)
+        gt = np.asarray(sam_predictor.set_image(rgb)[0])  # [gh, gw, 256]
+
+        # 64x64 low-res feature rays (provider.py:1091-1106: same camera,
+        # intrinsics scaled by 64/H, 64/W)
+        lr_intr = np.array([intr[0] * 64.0 / W, intr[1] * 64.0 / H,
+                            intr[2] * 64.0 / W, intr[3] * 64.0 / H],
+                           np.float32)
+        ro, rd = full_frame_rays(jnp.asarray(scene.poses[i]),
+                                 jnp.asarray(lr_intr), 64, 64)
+        fout = trainer._feat_render(trainer.state.params, ro, rd)
+        pred = np.asarray(fout["samvit"]).reshape(64, 64, -1)
+        if pred.shape[:2] != gt.shape[:2]:
+            pred = np.asarray(jax.image.resize(
+                jnp.asarray(pred), (*gt.shape[:2], pred.shape[-1]),
+                method="bilinear"))
+        meter.update(pred, gt)
+        if save_dir is not None:
+            os.makedirs(save_dir, exist_ok=True)
+            stem = os.path.splitext(str(scene.img_names[i]))[0]
+            np.save(os.path.join(save_dir, f"{stem}_samvit.npy"), pred)
+    trainer.log("[EVAL stage-2] " + meter.report())
+    return meter.measure()
+
+
 def make_render_and_encode(trainer: Trainer, sam, R: int,
                            img_size: int = 1024):
     """ONE jitted function: render a full R x R frame from the NeRF and run

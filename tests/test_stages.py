@@ -177,6 +177,32 @@ def test_on_device_render_and_encode(tmp_path):
     assert diff / scale < 0.2, f"on-device encode deviates: {diff/scale:.3f}"
 
 
+def test_evaluate_sam_features(tmp_path):
+    """Stage-2 feature-MSE eval (nerf/trainer.py:648-691): renders RGB,
+    SAM-encodes it as gt, renders the 64x64 s_grid feature map, reports MSE."""
+    from sanerf_hq_tpu.sam.predictor import SamPredictor
+    from sanerf_hq_tpu.train.trainer import Trainer
+    from sanerf_hq_tpu.train.stages import evaluate_sam_features
+    from sanerf_hq_tpu.data.provider import Scene
+    from tests.test_sam import tiny_sam
+
+    cfg = CFG.replace(with_sam=True, max_ray_batch=512)
+    model = SANeRFField(grid_bound=cfg.grid_bound, with_sam=True,
+                        sam_use_view_direction=True, **SMALL)
+    trainer = Trainer("t", cfg, model, str(tmp_path / "ws"),
+                      use_checkpoint="scratch")
+    s = make_synthetic_dataset(n_views=1, H=24, W=32)  # non-square
+    scene = Scene(images=s["images"], poses=s["poses"],
+                  intrinsics=s["intrinsics"], H=24, W=32,
+                  img_names=np.array(["a"]))
+    sam = SamPredictor(tiny_sam(), img_size=64)
+    mse = evaluate_sam_features(trainer, scene, sam,
+                                save_dir=str(tmp_path / "feats"))
+    assert np.isfinite(mse) and mse >= 0
+    import os as _os
+    assert _os.path.exists(str(tmp_path / "feats" / "a_samvit.npy"))
+
+
 def test_error_map_guided_sampling_distribution():
     """High-error cells must be sampled far more often than low-error cells
     (error-map importance sampling, nerf/utils.py:247-258)."""
