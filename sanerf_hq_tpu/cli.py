@@ -318,6 +318,19 @@ def main(argv=None):
                      write_video=True)
         return trainer
 
+    if cfg.gui:
+        # browser viewer over the headless GUI API (render/web_viewer.py);
+        # replaces the reference's dearpygui window (main.py:269-314)
+        from .render.gui_api import InteractiveSession
+        from .render.web_viewer import serve
+
+        sess = InteractiveSession(
+            trainer, scene=None if cfg.test else train_scene,
+            W=cfg.W, H=cfg.H, fovy=cfg.fovy, radius=cfg.radius)
+        serve(sess, points_path=os.path.join(cfg.workspace,
+                                             "picked_points.json"))
+        return trainer
+
     if cfg.test:
         if cfg.decode:
             from .utils.points import load_point_file

@@ -1,0 +1,106 @@
+"""Web viewer (render/web_viewer.py): HTTP endpoints drive the headless
+GUI API — frame rendering, orbiting, point prompts, point-file export
+(closes the L5 GUI gap, VERDICT r1 next #9)."""
+import json
+import os
+import urllib.request
+
+import numpy as np
+import pytest
+
+from sanerf_hq_tpu.config import Config
+from sanerf_hq_tpu.data import make_synthetic_dataset
+from sanerf_hq_tpu.data.provider import Scene
+from sanerf_hq_tpu.models import SANeRFField
+from sanerf_hq_tpu.ops import HashGridSpec
+from sanerf_hq_tpu.render.gui_api import InteractiveSession
+from sanerf_hq_tpu.render.web_viewer import serve
+from sanerf_hq_tpu.train.trainer import Trainer
+
+SMALL = dict(
+    main_spec=HashGridSpec(num_levels=3, level_dim=2, base_resolution=8,
+                           log2_hashmap_size=10, desired_resolution=32),
+    prop_spec_0=HashGridSpec(num_levels=2, level_dim=2, base_resolution=8,
+                             log2_hashmap_size=9, desired_resolution=16),
+    prop_spec_1=HashGridSpec(num_levels=2, level_dim=2, base_resolution=8,
+                             log2_hashmap_size=9, desired_resolution=16),
+)
+
+
+@pytest.fixture(scope="module")
+def viewer(tmp_path_factory):
+    cfg = Config(num_steps=(8, 4, 2), num_rays=64, iters=10, bound=4.0,
+                 min_near=0.05, max_ray_batch=256)
+    model = SANeRFField(grid_bound=cfg.grid_bound, **SMALL)
+    ws = str(tmp_path_factory.mktemp("viewer_ws"))
+    trainer = Trainer("t", cfg, model, ws, use_checkpoint="scratch")
+    s = make_synthetic_dataset(n_views=2, H=16, W=16)
+    scene = Scene(images=s["images"], poses=s["poses"],
+                  intrinsics=s["intrinsics"], H=16, W=16,
+                  img_names=np.array(["a", "b"]))
+    sess = InteractiveSession(trainer, scene=scene, W=32, H=32, radius=3.0)
+    server, state = serve(sess, port=0, block=False,
+                          points_path=os.path.join(ws, "pts.json"))
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, sess, state
+    server.shutdown()
+    state._stop = True
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=120) as r:
+        return r.status, dict(r.headers), r.read()
+
+
+def _post(base, path, obj):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_index_and_frame(viewer):
+    base, sess, _ = viewer
+    code, _, body = _get(base, "/")
+    assert code == 200 and b"<canvas" in body
+    code, headers, body = _get(base, "/frame?ds=2")
+    assert code == 200
+    assert headers["Content-Type"] == "image/jpeg"
+    assert body[:2] == b"\xff\xd8"  # JPEG magic
+    assert float(headers["X-FPS"]) > 0
+
+
+def test_orbit_changes_camera(viewer):
+    base, sess, _ = viewer
+    pose0 = sess.camera.pose.copy()
+    _post(base, "/orbit", {"dx": 50, "dy": 0})
+    _post(base, "/scale", {"delta": 1})
+    assert not np.allclose(sess.camera.pose, pose0)
+
+
+def test_click_picks_point_and_saves(viewer, tmp_path):
+    base, sess, state = viewer
+    code, out = _post(base, "/click", {"x": 0.5, "y": 0.5, "label": 1})
+    assert code == 200 and out["point"] is not None and len(out["point"]) == 3
+    # projected overlay has it near the center of the current view
+    pts = state.projected_points()
+    assert len(pts) == 1
+    assert abs(pts[0][0] - 0.5) < 0.1 and abs(pts[0][1] - 0.5) < 0.1
+    p = str(tmp_path / "picked.json")
+    code, out = _post(base, "/save_points", {"path": p})
+    assert code == 200 and out["n"] == 1
+    saved = json.load(open(p))
+    assert len(saved["points"]) == 1
+    assert saved["negative_labels"] == []
+    # clicking the same spot again toggles the point off (gui dedup flow)
+    code, out = _post(base, "/click", {"x": 0.5, "y": 0.5, "label": 1})
+    assert out["point"] is None
+    assert len(getattr(sess, "points_3d", [])) == 0
+
+
+def test_status_endpoint(viewer):
+    base, _, _ = viewer
+    code, _, body = _get(base, "/status")
+    st = json.loads(body)
+    assert code == 200 and st["training"] is False
