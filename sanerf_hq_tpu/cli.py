@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--with_sam", action="store_true")
     p.add_argument("--sam_type", type=str, default="sam",
                    choices=["sam", "sam_hq"])
+    p.add_argument("--sam_model_type", type=str, default="vit_h",
+                   choices=["vit_h", "vit_l", "vit_b"],
+                   help="encoder size (reference pins vit_h, main.py:258)")
     p.add_argument("--init_ckpt", type=str, default="")
     p.add_argument("--sam_ckpt", type=str,
                    default="./pretrained/sam_vit_h_4b8939.pth")
@@ -263,7 +266,8 @@ def main(argv=None):
         from .sam import build_sam, SamPredictor
 
         ckpt = cfg.sam_ckpt if os.path.exists(cfg.sam_ckpt) else None
-        sam = build_sam("vit_h", checkpoint=ckpt, hq=(cfg.sam_type == "sam_hq"))
+        sam = build_sam(cfg.sam_model_type, checkpoint=ckpt,
+                        hq=(cfg.sam_type == "sam_hq"))
         sam_predictor = SamPredictor(sam)
         if ckpt is None:
             trainer.log(f"[WARN] SAM checkpoint {cfg.sam_ckpt} not found; "

@@ -26,6 +26,9 @@ class Config:
     # SAM feature options (main.py:26-43)
     with_sam: bool = False
     sam_type: str = "sam"  # 'sam' | 'sam_hq'
+    # encoder size; the reference pins vit_h (main.py:258) — smaller
+    # variants are an extension for cost-bounded runs
+    sam_model_type: str = "vit_h"  # 'vit_h' | 'vit_l' | 'vit_b'
     init_ckpt: str = ""
     sam_ckpt: str = "./pretrained/sam_vit_h_4b8939.pth"
     online_resolution: int = 512

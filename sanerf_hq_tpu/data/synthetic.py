@@ -75,3 +75,119 @@ def make_synthetic_dataset(n_views=12, H=64, W=64, fovy_deg=50.0, radius=2.0,
         "H": H,
         "W": W,
     }
+
+
+# ---------------------------------------------------------------------------
+# Rich multi-object scene: textured ground + shaded spheres + box, object-id
+# maps for stage-3 mIoU.  Still fully analytic (no data dependency), but
+# with enough texture/parallax/occlusion to be a meaningful quality
+# benchmark for the full 3-stage pipeline (VERDICT r1 next #2).
+# ---------------------------------------------------------------------------
+
+_SPHERES = [
+    # (center, radius, base color, texture)
+    (np.array([0.0, -0.1, 0.0], np.float32), 0.5,
+     np.array([0.85, 0.3, 0.25], np.float32), "stripes"),
+    (np.array([0.9, -0.35, -0.4], np.float32), 0.25,
+     np.array([0.25, 0.5, 0.9], np.float32), "solid"),
+    (np.array([-0.8, -0.3, 0.5], np.float32), 0.3,
+     np.array([0.3, 0.8, 0.35], np.float32), "checker"),
+]
+_PLANE_Y = -0.6
+_SUN = np.array([0.4, 0.8, 0.45], np.float32) / np.linalg.norm(
+    [0.4, 0.8, 0.45])
+
+
+def _sphere_hit(o, dn, center, radius):
+    oc = o - center
+    b = 2 * np.sum(dn * oc, -1)
+    c = np.sum(oc * oc, -1) - radius * radius
+    disc = b * b - 4 * c
+    hit = disc > 0
+    t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2, np.inf)
+    return np.where(hit & (t > 1e-4), t, np.inf)
+
+
+def _shade(albedo, normal):
+    lam = np.clip(np.sum(normal * _SUN, -1, keepdims=True), 0, 1)
+    return albedo * (0.35 + 0.65 * lam)
+
+
+def render_rich_scene(pose, intrinsics, H, W):
+    """Returns (img [H,W,3] float, obj_id [H,W] int: 0 bg, 1 plane,
+    2..N spheres)."""
+    fx, fy, cx, cy = intrinsics
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    xs = (xx + 0.5 - cx) / fx
+    ys = -(yy + 0.5 - cy) / fy
+    zs = -np.ones_like(xs)
+    dirs = np.stack([xs, ys, zs], -1) @ pose[:3, :3].T
+    dn = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    o = pose[:3, 3]
+
+    t_best = np.full((H, W), np.inf, np.float32)
+    obj_id = np.zeros((H, W), np.int32)
+    img = np.zeros((H, W, 3), np.float32)
+
+    # sky: direction-dependent gradient
+    sky = (np.array([0.62, 0.72, 0.9], np.float32)[None, None]
+           + 0.25 * np.clip(dn[..., 1:2], -1, 1))
+    img[:] = sky
+
+    # ground plane with checker texture (finite disk radius 4)
+    denom = dn[..., 1]
+    tp = (_PLANE_Y - o[1]) / np.where(np.abs(denom) < 1e-6, 1e-6, denom)
+    p = o + dn * tp[..., None]
+    in_disk = (tp > 1e-4) & (p[..., 0] ** 2 + p[..., 2] ** 2 < 16.0)
+    checker = ((np.floor(p[..., 0] * 2.5) + np.floor(p[..., 2] * 2.5))
+               % 2).astype(np.float32)
+    plane_col = (0.25 + 0.5 * checker)[..., None] * np.array(
+        [1.0, 0.95, 0.85], np.float32)
+    m = in_disk & (tp < t_best)
+    t_best = np.where(m, tp, t_best)
+    obj_id = np.where(m, 1, obj_id)
+    img = np.where(m[..., None], _shade(plane_col,
+                                        np.array([0, 1, 0], np.float32)), img)
+
+    for k, (center, radius, base, tex) in enumerate(_SPHERES):
+        ts = _sphere_hit(o, dn, center, radius)
+        m = ts < t_best
+        if not m.any():
+            continue
+        p = o + dn * np.where(np.isfinite(ts), ts, 0.0)[..., None]
+        normal = (p - center) / radius
+        if tex == "stripes":
+            fac = 0.55 + 0.45 * np.sign(np.sin(p[..., 1] * 18.0))
+        elif tex == "checker":
+            fac = 0.55 + 0.45 * ((np.floor(p[..., 0] * 8)
+                                  + np.floor(p[..., 2] * 8)) % 2)
+        else:
+            fac = np.ones_like(ts)
+        albedo = base[None, None] * fac[..., None]
+        t_best = np.where(m, ts, t_best)
+        obj_id = np.where(m, k + 2, obj_id)
+        img = np.where(m[..., None], _shade(albedo, normal), img)
+
+    return np.clip(img, 0, 1).astype(np.float32), obj_id
+
+
+def make_rich_dataset(n_views: int = 24, H: int = 240, W: int = 320,
+                      fovy_deg: float = 55.0, radius: float = 2.6):
+    """Orbit rig at two elevations + closer accent views; returns images,
+    poses, intrinsics, obj_ids."""
+    focal = 0.5 * H / np.tan(0.5 * np.deg2rad(fovy_deg))
+    intr = np.array([focal, focal, W / 2, H / 2], np.float32)
+    images, poses, ids = [], [], []
+    for i in range(n_views):
+        theta = 2 * np.pi * i / n_views
+        r = radius * (0.82 if i % 5 == 0 else 1.0)
+        elev = 0.55 if i % 2 == 0 else 1.1
+        eye = np.array([r * np.cos(theta), elev, r * np.sin(theta)],
+                       np.float32)
+        pose = look_at_pose(eye, center=(0.0, -0.2, 0.0))
+        img, oid = render_rich_scene(pose, intr, H, W)
+        images.append(img)
+        poses.append(pose)
+        ids.append(oid)
+    return {"images": np.stack(images), "poses": np.stack(poses),
+            "intrinsics": intr, "obj_ids": np.stack(ids), "H": H, "W": W}
