@@ -43,6 +43,10 @@ def train_bench():
                         jnp.ones((4, 3)))
     scales = mlp_field_lr_scales(params) if field_type == "mlp" else None
     state = create_train_state(params, cfg.lr, cfg.iters, lr_scales=scales)
+    # measure the steady-state cadence (step > 3000: proposal nets update
+    # 1 step in 5, reference nerf/trainer.py:372-373 — the first 3000
+    # steps all take the update branch and run ~25% slower)
+    state = state.replace(step=jnp.asarray(3001, jnp.int32))
     train_step = make_rgb_train_step(model, cfg, donate=False)
     scene = make_synthetic_dataset(n_views=8, H=128, W=128)
     images = jnp.asarray(scene["images"])

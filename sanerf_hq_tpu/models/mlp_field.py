@@ -203,6 +203,33 @@ class MLPField(nn.Module):
             opaque_last=opaque_last,
         )
 
+    # training megakernels (custom-VJP, ops/render_level_pallas.py)
+    def fused_prop_weights_train(self, rays_o, rays_d, real_bins,
+                                 proposal: int, opaque_last: bool = True):
+        from ..ops.render_level_pallas import prop_level_train
+
+        mlp = self.prop_mlp_0 if proposal == 0 else self.prop_mlp_1
+        ws = [mlp.variables["params"][f"w{l}"]
+              for l in range(self.prop_layers)]
+        return prop_level_train(
+            (self.prop_freq_degree, self.grid_bound, opaque_last),
+            rays_o, rays_d, real_bins, *ws)
+
+    def fused_final_render_train(self, rays_o, rays_d, real_bins,
+                                 opaque_last: bool = True):
+        """Differentiable fused final level.  Returns (f_image [N, 31],
+        depth [N], weights_sum [N], weights [N, T])."""
+        from ..ops.render_level_pallas import final_level_train
+
+        d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        sh = sh_encode(d, SH_DEGREE)
+        ws = [self.trunk.variables["params"][f"w{l}"]
+              for l in range(self.num_layers)]
+        return final_level_train(
+            (self.freq_degree, self.num_layers // 2, self.grid_bound,
+             opaque_last),
+            rays_o, rays_d, real_bins, sh, *ws)
+
     def sam_features(self, x):
         return hash_encode(self.s_grid_table, x, self.s_spec, bound=self.grid_bound)
 

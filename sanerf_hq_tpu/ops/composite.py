@@ -69,20 +69,22 @@ def loss_interlevel(t0, w0, t1, w1):
     (detached by caller), t1/w1: proposal bins/weights.  For each final-level
     interval, bound the proposal mass it overlaps and penalize shortfall.
     Returns per-element [N, T0] loss (caller means it).
+
+    Implementation note: the reference gathers the proposal CDF at
+    searchsorted indices; here the equivalent banded mask
+    M[j,k] = inds_lo[j] <= k <= inds_hi[j] contracts the proposal weights
+    directly (W = sum_k M*w1 == cw1[hi+1] - cw1[lo]).  One [N,T0,T1] mask
+    instead of two searchsorted count tensors + two one-hot lookups — the
+    backward is the same mask applied to the cotangent, so no CDF/scatter
+    appears anywhere and the whole loss is ~3 elementwise passes.
     """
     T1 = w1.shape[-1]
-    cw1 = jnp.concatenate(
-        [jnp.zeros_like(w1[..., :1]), jnp.cumsum(w1, axis=-1)], axis=-1
-    )
-    inds_lo = jnp.clip(_searchsorted_right(t1[..., :-1], t0[..., :-1]) - 1, 0, T1 - 1)
-    inds_hi = jnp.clip(_searchsorted_right(t1[..., 1:], t0[..., 1:]), 0, T1 - 1)
-    # one-hot masked-sum lookup instead of take_along_axis (see ops/ray.py)
     iota = jnp.arange(T1, dtype=jnp.int32)
-    oh_lo = inds_lo[..., None] == iota
-    oh_hi = inds_hi[..., None] == iota
-    cw1_lo = jnp.sum(jnp.where(oh_lo, cw1[:, None, :-1], 0.0), axis=-1)
-    cw1_hi = jnp.sum(jnp.where(oh_hi, cw1[:, None, 1:], 0.0), axis=-1)
-    w = cw1_hi - cw1_lo
+    inds_lo = jnp.clip(
+        _searchsorted_right(t1[..., :-1], t0[..., :-1]) - 1, 0, T1 - 1)
+    inds_hi = jnp.clip(_searchsorted_right(t1[..., 1:], t0[..., 1:]), 0, T1 - 1)
+    band = (inds_lo[..., None] <= iota) & (iota <= inds_hi[..., None])
+    w = jnp.sum(jnp.where(band, w1[:, None, :], 0.0), axis=-1)
     return jnp.maximum(w0 - w, 0.0) ** 2 / (w0 + 1e-8)
 
 

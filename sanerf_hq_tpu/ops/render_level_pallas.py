@@ -1,6 +1,6 @@
-"""Megakernel for the FINAL render level (inference fast path).
+"""Megakernels for the proposal/final render levels.
 
-Fuses, per ray tile, the entire final-level pipeline in VMEM:
+Fuses, per ray tile, the entire level pipeline in VMEM:
   sample positions -> contraction -> freq-MLP trunk -> density activation ->
   alpha compositing -> feature/depth accumulation
 so none of the per-sample intermediates (xyz [N,T,3], features [N,T,16],
@@ -10,8 +10,29 @@ transmittance accumulation in registers (a cumsum over samples is exactly
 what the lane-parallel layout cannot vectorize, and exactly what a serial
 register loop does for free).
 
-Inference-only: the training path keeps the composable XLA renderer
-(render_rays) whose autodiff is exercised by the test suite.
+SAMPLE GROUPING: per-sample unrolled loops are VPU-bound (each iteration
+pays its own sin/cos pass and a small matmul — at T=128 proposal samples
+that is ~95% of kernel time).  All kernels therefore batch G consecutive
+samples along the LANE axis: geometry, sin/cos, and the MLP trunk run on
+[rows, G*R] arrays, while only the [1, R] compositing recurrences stay
+sequential.  sin/cos also run on the freq rows only (not a full-width
+where-select), and the final level's SH color block is accumulated in
+closed form (sum_s w_s*sh == weights_sum*sh).
+
+TRAINING: both level kernels carry a custom VJP whose backward is itself
+a grouped Pallas megakernel.  Key simplification exploited: NO gradient
+flows into rays/bins/sh (bins come from stop_gradient'd sample_pdf or
+linspace, rays are data) — only the MLP weight gradients [out, in] leave
+the kernel, accumulated in VMEM across the ray grid.  Compositing
+backward uses the closed form
+
+  dL/d(ds_s) = G_s * T_{s+1} - sum_{j>s} G_j w_j,   G_s = dL/dw_s
+
+with the suffix sum evaluated from pass-1 [1, R] scalars in reverse
+order, so the expensive parts of the backward (activation recompute, dW
+and d-activation matmuls) batch over whole groups.  relu masks come from
+the next layer's stashed input (relu(x) > 0 <=> x > 0), halving the
+activation stash.
 """
 from __future__ import annotations
 
@@ -23,80 +44,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_mlp import _freq_expansion_matrix
-
-R_TILE = 4096  # rays per grid step
-
-
-def _make_kernel(T: int, n_layers: int, skip_layer: int, freq_degree: int,
-                 grid_bound: float, opaque_last: bool, compute_dtype):
-    D = 3
-
-    def kernel(p_ref, o_ref, d_ref, bins_ref, sh_ref, *refs):
-        w_refs = refs[:n_layers]
-        fimg_ref, depth_ref, wsum_ref = refs[n_layers:n_layers + 3]
-
-        o = o_ref[:].astype(jnp.float32)       # [3, R]
-        dd = d_ref[:].astype(jnp.float32)      # [3, R]
-        sh = sh_ref[:].astype(jnp.float32)     # [16, R]
-        R = o.shape[1]
-
-        f_img = jnp.zeros((15 + sh.shape[0], R), jnp.float32)
-        depth = jnp.zeros((1, R), jnp.float32)
-        wsum = jnp.zeros((1, R), jnp.float32)
-        accum = jnp.zeros((1, R), jnp.float32)
-
-        for s in range(T):
-            b0 = bins_ref[s:s + 1, :]          # [1, R]
-            b1 = bins_ref[s + 1:s + 2, :]
-            t_s = (b0 + b1) * 0.5
-            delta = b1 - b0
-
-            xyz = o + dd * t_s                 # [3, R]
-            # inf-norm contraction (ops/contraction.py semantics)
-            ax = jnp.abs(xyz)
-            mag = jnp.max(ax, axis=0, keepdims=True)
-            is_max = ax == mag
-            inv = 1.0 / jnp.maximum(mag, 1e-38)
-            scale = jnp.where(is_max, (2.0 - inv) * inv, inv)
-            xyz = jnp.where(mag < 1.0, xyz, xyz * scale)
-            xyz = xyz / grid_bound
-
-            # freq encode via expansion matmul + iota-masked sin/cos
-            a = jnp.dot(p_ref[:], xyz, preferred_element_type=jnp.float32)
-            row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
-            sin_end = D + freq_degree * D
-            h = jnp.where((row >= D) & (row < sin_end), jnp.sin(a),
-                          jnp.where(row >= sin_end, jnp.cos(a), a))
-            h = h.astype(compute_dtype)
-            h_in = h
-            for l in range(n_layers):
-                if l == skip_layer:
-                    h = jnp.concatenate([h, h_in], axis=0)
-                w = w_refs[l][:].astype(compute_dtype)
-                h = jnp.dot(w, h, preferred_element_type=jnp.float32)
-                if l != n_layers - 1:
-                    h = jnp.maximum(h, 0.0).astype(compute_dtype)
-            # h: [16, R] fp32 — row 0 raw density, rows 1..15 geo features
-            sigma = jnp.exp(jnp.clip(h[0:1, :], -30.0, 15.0))
-            if opaque_last and s == T - 1:
-                ds = jnp.full_like(sigma, jnp.inf)
-            else:
-                ds = delta * sigma
-            alpha = 1.0 - jnp.exp(-ds)
-            w_s = alpha * jnp.exp(-accum)
-            accum = accum + ds
-
-            color = jnp.concatenate([h[1:, :], sh], axis=0)  # [31, R]
-            f_img = f_img + w_s * color
-            depth = depth + w_s * t_s
-            wsum = wsum + w_s
-
-        fimg_ref[:] = f_img
-        depth_ref[:] = depth
-        wsum_ref[:] = wsum
-
-    return kernel
+R_TILE = 2048          # rays per grid step (proposal kernel)
+GROUP_FWD_PROP = 8     # samples per matmul pass in the proposal kernel
+                       # (G*R = 16384 lanes; 4096x8 blows scoped vmem)
+INTERPRET = False    # run kernels in interpret mode (CPU debug/tests)
 
 
 def fused_final_level(rays_o, rays_d, real_bins, sh, ws: Sequence,
@@ -104,52 +55,16 @@ def fused_final_level(rays_o, rays_d, real_bins, sh, ws: Sequence,
                       opaque_last: bool = True):
     """rays_o/rays_d: [N, 3]; real_bins: [N, T+1]; sh: [N, 16] per-ray
     direction encoding; ws: trunk kernels [in, out].
-    Returns (f_image [N, 31], depth [N], weights_sum [N])."""
-    N = rays_o.shape[0]
-    T = real_bins.shape[1] - 1
-    n_layers = len(ws)
-    pad = (-N) % R_TILE
-    ot = jnp.pad(rays_o, ((0, pad), (0, 0))).T           # [3, N']
-    dt = jnp.pad(rays_d, ((0, pad), (0, 0))).T
-    bt = jnp.pad(real_bins, ((0, pad), (0, 0)),
-                 constant_values=1.0).T                  # [T+1, N']
-    st = jnp.pad(sh, ((0, pad), (0, 0))).T               # [16, N']
-    Np = ot.shape[1]
-    grid = (Np // R_TILE,)
+    Returns (f_image [N, 31], depth [N], weights_sum [N]).
 
-    P = jnp.asarray(_freq_expansion_matrix(3, freq_degree)).T  # [F, 3]
-    wts = [w.T for w in ws]
-
-    kernel = _make_kernel(T, n_layers, skip_layer, freq_degree, grid_bound,
-                          opaque_last, jnp.bfloat16)
-    C = 15 + sh.shape[1]
-    f_img, depth, wsum = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(P.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T + 1, R_TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((sh.shape[1], R_TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ] + [
-            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-            for w in wts
-        ],
-        out_specs=(
-            pl.BlockSpec((C, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((C, Np), jnp.float32),
-            jax.ShapeDtypeStruct((1, Np), jnp.float32),
-            jax.ShapeDtypeStruct((1, Np), jnp.float32),
-        ),
-    )(P, ot, dt, bt, st, *wts)
-    return f_img.T[:N], depth[0, :N], wsum[0, :N]
+    Thin delegate: the grouped train-forward kernel IS the inference
+    kernel (identical fusion; the extra [N, T] weights output it emits is
+    a negligible HBM write), so inference and training share one
+    implementation and one compiled kernel."""
+    f_img, depth, wsum, _ = final_level_train(
+        (freq_degree, skip_layer, grid_bound, opaque_last),
+        rays_o, rays_d, real_bins, sh, *ws)
+    return f_img, depth, wsum
 
 
 # ---------------------------------------------------------------------------
@@ -158,52 +73,33 @@ def fused_final_level(rays_o, rays_d, real_bins, sh, ws: Sequence,
 # consumes, instead of composited features.
 # ---------------------------------------------------------------------------
 
-def _make_prop_kernel(T: int, n_layers: int, freq_degree: int,
+def _make_prop_kernel(T: int, G: int, n_layers: int, freq_degree: int,
                       grid_bound: float, opaque_last: bool, compute_dtype):
-    D = 3
-
-    def kernel(p_ref, o_ref, d_ref, bins_ref, *refs):
+    def kernel(pf_ref, o_ref, d_ref, bins_ref, *refs):
         w_refs = refs[:n_layers]
         wout_ref = refs[n_layers]
 
         o = o_ref[:].astype(jnp.float32)
         dd = d_ref[:].astype(jnp.float32)
+        pf_val = pf_ref[:]
+        w_vals = [w[:] for w in w_refs]
         R = o.shape[1]
-        accum = jnp.zeros((1, R), jnp.float32)
 
-        for s in range(T):
-            b0 = bins_ref[s:s + 1, :]
-            b1 = bins_ref[s + 1:s + 2, :]
-            t_s = (b0 + b1) * 0.5
-            delta = b1 - b0
-
-            xyz = o + dd * t_s
-            ax = jnp.abs(xyz)
-            mag = jnp.max(ax, axis=0, keepdims=True)
-            is_max = ax == mag
-            inv = 1.0 / jnp.maximum(mag, 1e-38)
-            scale = jnp.where(is_max, (2.0 - inv) * inv, inv)
-            xyz = jnp.where(mag < 1.0, xyz, xyz * scale) / grid_bound
-
-            a = jnp.dot(p_ref[:], xyz, preferred_element_type=jnp.float32)
-            row = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
-            sin_end = D + freq_degree * D
-            h = jnp.where((row >= D) & (row < sin_end), jnp.sin(a),
-                          jnp.where(row >= sin_end, jnp.cos(a), a))
-            h = h.astype(compute_dtype)
-            for l in range(n_layers):
-                w = w_refs[l][:].astype(compute_dtype)
-                h = jnp.dot(w, h, preferred_element_type=jnp.float32)
-                if l != n_layers - 1:
-                    h = jnp.maximum(h, 0.0).astype(compute_dtype)
+        trans = jnp.ones((1, R), jnp.float32)
+        for gi in range(T // G):
+            _, d_sl, hf = _geom_group(o, dd, bins_ref, gi * G, G, pf_val,
+                                      grid_bound)
+            h = _trunk_fwd(hf, w_vals, -1, compute_dtype)
             sigma = jnp.exp(jnp.clip(h[0:1, :], -30.0, 15.0))
-            if opaque_last and s == T - 1:
-                ds = jnp.full_like(sigma, jnp.inf)
-            else:
-                ds = delta * sigma
-            alpha = 1.0 - jnp.exp(-ds)
-            wout_ref[s:s + 1, :] = alpha * jnp.exp(-accum)
-            accum = accum + ds
+            for g in range(G):
+                s = gi * G + g
+                sl = slice(g * R, (g + 1) * R)
+                if opaque_last and s == T - 1:
+                    e = jnp.zeros((1, R), jnp.float32)
+                else:
+                    e = jnp.exp(-d_sl[g] * sigma[:, sl])
+                wout_ref[s:s + 1, :] = (1.0 - e) * trans
+                trans = trans * e
 
     return kernel
 
@@ -215,6 +111,7 @@ def fused_prop_level(rays_o, rays_d, real_bins, ws: Sequence,
     N = rays_o.shape[0]
     T = real_bins.shape[1] - 1
     n_layers = len(ws)
+    G = _pick_group(T, GROUP_FWD_PROP)
     pad = (-N) % R_TILE
     ot = jnp.pad(rays_o, ((0, pad), (0, 0))).T
     dt = jnp.pad(rays_d, ((0, pad), (0, 0))).T
@@ -222,15 +119,16 @@ def fused_prop_level(rays_o, rays_d, real_bins, ws: Sequence,
     Np = ot.shape[1]
     grid = (Np // R_TILE,)
 
-    P = jnp.asarray(_freq_expansion_matrix(3, freq_degree)).T
+    Pf = jnp.asarray(_freq_rows_matrix(3, freq_degree))
     wts = [w.T for w in ws]
-    kernel = _make_prop_kernel(T, n_layers, freq_degree, grid_bound,
+    kernel = _make_prop_kernel(T, G, n_layers, freq_degree, grid_bound,
                                opaque_last, jnp.bfloat16)
     wout = pl.pallas_call(
         kernel,
+        interpret=INTERPRET,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(P.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(Pf.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((T + 1, R_TILE), lambda i: (0, i),
@@ -242,5 +140,509 @@ def fused_prop_level(rays_o, rays_d, real_bins, ws: Sequence,
         out_specs=pl.BlockSpec((T, R_TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, Np), jnp.float32),
-    )(P, ot, dt, bt, *wts)
+    )(Pf, ot, dt, bt, *wts)
     return wout.T[:N]
+
+
+# ---------------------------------------------------------------------------
+# Training path: custom-VJP megakernels (sample-GROUPED, round-2 v2).
+#
+# The v1 per-sample loops were VPU-bound: T statically-unrolled iterations
+# each doing its own [F, R] sin/cos pass and small matmuls (the proposal
+# trunk is only ~7k MACs/sample, so at T=128 the backward spent ~95% of its
+# time in per-sample transcendentals and op overhead, 1.6 ms vs a ~0.1 ms
+# matmul floor).  v2 batches G consecutive samples along the LANE axis:
+# geometry, sin/cos, the MLP trunk, and all backward matmuls run on
+# [rows, G*R] arrays (one pass per group), while only the inherently
+# sequential compositing recurrences (transmittance forward, suffix sum
+# backward) stay per-sample — and those are [1, R] VPU ops, essentially
+# free.  sin/cos also moved from full-width where-selects to row slices
+# (2.1x fewer transcendentals), and the final level's SH color block is
+# accumulated in closed form (sum_s w_s * sh == weights_sum * sh) instead
+# of a 16-row FMA per sample.
+# ---------------------------------------------------------------------------
+
+R_TILE_TRAIN = 2048       # forward tile (rays)
+R_TILE_BWD = 1024         # proposal backward tile
+R_TILE_BWD_FINAL = 512    # final backward stashes 894 activation rows ->
+                          # G*R = 2048 lanes is the scoped-vmem ceiling
+GROUP_FWD = 4        # samples batched per matmul pass (forward kernels)
+GROUP_BWD_FINAL = 4
+GROUP_BWD_PROP = 8
+
+
+def _pick_group(T: int, want: int) -> int:
+    g = want
+    while T % g:
+        g //= 2
+    return max(g, 1)
+
+
+def _freq_rows_matrix(D: int, degree: int) -> np.ndarray:
+    """[degree*D, D] rows of the freq expansion (sin block only; the cos
+    block repeats it).  hf row layout stays [x | sin | cos] to match the
+    fused_mlp weight convention."""
+    Pf = np.zeros((degree * D, D), np.float32)
+    for d in range(D):
+        for k in range(degree):
+            Pf[k * D + d, d] = 2.0 ** k
+    return Pf
+
+
+def _geom_group(o, dd, bins_ref, s0, G, pf_val, grid_bound):
+    """Geometry for samples s0..s0+G-1 batched along lanes.
+
+    Returns (t_sl: G x [1,R] midpoints, d_sl: G x [1,R] interval widths,
+    hf [D+2F, G*R] fp32 freq features).  o/dd are [3, R] in-kernel values;
+    bins_ref is the [T+1, R] ref."""
+    t_sl, d_sl, xyz_sl = [], [], []
+    for g in range(G):
+        b0 = bins_ref[s0 + g:s0 + g + 1, :]
+        b1 = bins_ref[s0 + g + 1:s0 + g + 2, :]
+        t = (b0 + b1) * 0.5
+        t_sl.append(t)
+        d_sl.append(b1 - b0)
+        xyz_sl.append(o + dd * t)
+    xyz = xyz_sl[0] if G == 1 else jnp.concatenate(xyz_sl, axis=1)  # [3,G*R]
+    ax = jnp.abs(xyz)
+    mag = jnp.max(ax, axis=0, keepdims=True)
+    is_max = ax == mag
+    inv = 1.0 / jnp.maximum(mag, 1e-38)
+    scale = jnp.where(is_max, (2.0 - inv) * inv, inv)
+    xyz = jnp.where(mag < 1.0, xyz, xyz * scale) / grid_bound
+    af = jnp.dot(pf_val, xyz, preferred_element_type=jnp.float32)  # [F,G*R]
+    hf = jnp.concatenate([xyz, jnp.sin(af), jnp.cos(af)], axis=0)
+    return t_sl, d_sl, hf
+
+
+def _trunk_fwd(h_freq, w_vals, skip_layer, compute_dtype,
+               keep_inputs: bool = False):
+    """Forward through the bias-free trunk. w_vals: [out, in] values.
+    Returns h_out fp32 (and the per-layer INPUT activations when
+    keep_inputs — relu masks are recoverable from the next layer's input,
+    so outputs need not be stashed)."""
+    h = h_freq.astype(compute_dtype)
+    h_in = h
+    inputs = []
+    n = len(w_vals)
+    for l, w in enumerate(w_vals):
+        if l == skip_layer:
+            h = jnp.concatenate([h, h_in], axis=0)
+        if keep_inputs:
+            inputs.append(h)
+        h = jnp.dot(w.astype(compute_dtype), h,
+                    preferred_element_type=jnp.float32)
+        if l != n - 1:
+            h = jnp.maximum(h, 0.0).astype(compute_dtype)
+    if keep_inputs:
+        return h, inputs
+    return h
+
+
+def _trunk_bwd_accum(dh, w_vals, inputs, skip_layer, compute_dtype,
+                     dw_refs):
+    """Accumulate weight grads into dw_refs.  dh: [out_last, G*R] fp32 grad
+    wrt the LAST layer's pre-activation output.  relu masks come from the
+    next layer's stashed input (relu(x) > 0 <=> x > 0)."""
+    n = len(w_vals)
+    d = dh.astype(compute_dtype)
+    for l in range(n - 1, -1, -1):
+        # dW_l += d @ inputs[l]^T  (contract the lane/ray axis)
+        dw_refs[l][:] += jax.lax.dot_general(
+            d, inputs[l],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if l == 0:
+            break
+        da = jax.lax.dot_general(
+            w_vals[l].astype(compute_dtype), d,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [in_l, G*R]
+        if l == skip_layer:
+            # layer l's input was concat(act, h_freq); only the act half
+            # propagates (no grads to rays/bins)
+            rows = inputs[l].shape[0] - inputs[0].shape[0]
+            da = da[:rows]
+            act = inputs[l][:rows]
+        else:
+            act = inputs[l]
+        # relu mask in fp32 (Mosaic cannot compare bf16 vectors)
+        d = jnp.where(act.astype(jnp.float32) > 0.0, da, 0.0).astype(
+            compute_dtype)
+
+
+def _make_final_train_kernel(T, G, n_layers, skip_layer, freq_degree,
+                             grid_bound, opaque_last, compute_dtype):
+    def kernel(pf_ref, o_ref, d_ref, bins_ref, sh_ref, *refs):
+        w_refs = refs[:n_layers]
+        fimg_ref, depth_ref, wsum_ref, w_out_ref = refs[n_layers:]
+        o = o_ref[:].astype(jnp.float32)
+        dd = d_ref[:].astype(jnp.float32)
+        sh = sh_ref[:].astype(jnp.float32)
+        R = o.shape[1]
+        pf_val = pf_ref[:]
+        w_vals = [w[:] for w in w_refs]
+
+        f_feat = jnp.zeros((15, R), jnp.float32)
+        depth = jnp.zeros((1, R), jnp.float32)
+        wsum = jnp.zeros((1, R), jnp.float32)
+        trans = jnp.ones((1, R), jnp.float32)
+        for gi in range(T // G):
+            t_sl, d_sl, hf = _geom_group(o, dd, bins_ref, gi * G, G, pf_val,
+                                         grid_bound)
+            h = _trunk_fwd(hf, w_vals, skip_layer, compute_dtype)
+            sigma = jnp.exp(jnp.clip(h[0:1, :], -30.0, 15.0))  # [1, G*R]
+            for g in range(G):
+                s = gi * G + g
+                sl = slice(g * R, (g + 1) * R)
+                if opaque_last and s == T - 1:
+                    e = jnp.zeros((1, R), jnp.float32)
+                else:
+                    e = jnp.exp(-d_sl[g] * sigma[:, sl])
+                w_s = (1.0 - e) * trans
+                trans = trans * e
+                f_feat = f_feat + w_s * h[1:, sl]
+                depth = depth + w_s * t_sl[g]
+                wsum = wsum + w_s
+                w_out_ref[s:s + 1, :] = w_s
+        fimg_ref[0:15, :] = f_feat
+        fimg_ref[15:, :] = wsum * sh  # sum_s w_s*sh in closed form
+        depth_ref[:] = depth
+        wsum_ref[:] = wsum
+
+    return kernel
+
+
+def _make_final_bwd_kernel(T, G, n_layers, skip_layer, freq_degree,
+                           grid_bound, opaque_last, compute_dtype):
+    def kernel(pf_ref, o_ref, d_ref, bins_ref, sh_ref, *refs):
+        w_refs = refs[:n_layers]
+        gf_ref, gd_ref, gws_ref, gw_ref = refs[n_layers:n_layers + 4]
+        dw_refs = refs[n_layers + 4:]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _zero():
+            for r in dw_refs:
+                r[:] = jnp.zeros_like(r)
+
+        o = o_ref[:].astype(jnp.float32)
+        dd = d_ref[:].astype(jnp.float32)
+        sh = sh_ref[:].astype(jnp.float32)
+        gf = gf_ref[:]          # [C, R] upstream grad of f_image
+        gd = gd_ref[:]          # [1, R]
+        gws = gws_ref[:]        # [1, R]
+        pf_val = pf_ref[:]
+        w_vals = [w[:] for w in w_refs]
+        R = o.shape[1]
+
+        # dL/dw_s contribution from the sh half of color is sample-const
+        g_sh = jnp.sum(gf[15:] * sh, axis=0, keepdims=True)  # [1, R]
+        gf_feat = gf[:15]
+        gf_tile = (gf_feat if G == 1 else
+                   jnp.concatenate([gf_feat] * G, axis=1))  # [15, G*R]
+
+        # pass 1: grouped forward; stash per-sample [1,R] scalars only
+        trans = jnp.ones((1, R), jnp.float32)
+        G_l, w_l, Tn_l, raw_l, dl_l = [], [], [], [], []
+        for gi in range(T // G):
+            t_sl, d_sl, hf = _geom_group(o, dd, bins_ref, gi * G, G, pf_val,
+                                         grid_bound)
+            h = _trunk_fwd(hf, w_vals, skip_layer, compute_dtype)
+            raw = h[0:1, :]
+            sigma = jnp.exp(jnp.clip(raw, -30.0, 15.0))
+            dotcol = jnp.sum(gf_tile * h[1:, :], axis=0,
+                             keepdims=True)  # [1, G*R]
+            for g in range(G):
+                s = gi * G + g
+                sl = slice(g * R, (g + 1) * R)
+                if opaque_last and s == T - 1:
+                    e = jnp.zeros((1, R), jnp.float32)
+                else:
+                    e = jnp.exp(-d_sl[g] * sigma[:, sl])
+                w_s = (1.0 - e) * trans
+                Tn = trans * e
+                trans = Tn
+                G_l.append(dotcol[:, sl] + g_sh + gd * t_sl[g] + gws
+                           + gw_ref[s:s + 1, :])
+                w_l.append(w_s)
+                Tn_l.append(Tn)
+                raw_l.append(raw[:, sl])
+                dl_l.append(d_sl[g])
+
+        # pass 2 (reverse group order): suffix sum + grouped trunk backprop
+        S = jnp.zeros((1, R), jnp.float32)
+        for gi in range(T // G - 1, -1, -1):
+            d_raw_sl = [None] * G
+            for g in range(G - 1, -1, -1):
+                s = gi * G + g
+                d_ds = G_l[s] * Tn_l[s] - S
+                S = S + G_l[s] * w_l[s]
+                if opaque_last and s == T - 1:
+                    d_raw_sl[g] = jnp.zeros((1, R), jnp.float32)
+                else:
+                    sigma = jnp.exp(jnp.clip(raw_l[s], -30.0, 15.0))
+                    in_range = (raw_l[s] > -30.0) & (raw_l[s] < 15.0)
+                    d_raw_sl[g] = jnp.where(in_range,
+                                            d_ds * dl_l[s] * sigma, 0.0)
+            _, _, hf = _geom_group(o, dd, bins_ref, gi * G, G, pf_val,
+                                   grid_bound)
+            _, inputs = _trunk_fwd(hf, w_vals, skip_layer, compute_dtype,
+                                   keep_inputs=True)
+            d_raw = (d_raw_sl[0] if G == 1 else
+                     jnp.concatenate(d_raw_sl, axis=1))
+            w_row = (w_l[gi * G] if G == 1 else
+                     jnp.concatenate(w_l[gi * G:gi * G + G], axis=1))
+            dh = jnp.concatenate([d_raw, w_row * gf_tile], axis=0)  # [16,·]
+            _trunk_bwd_accum(dh, w_vals, inputs, skip_layer, compute_dtype,
+                             dw_refs)
+
+    return kernel
+
+
+def _make_prop_bwd_kernel(T, G, n_layers, freq_degree, grid_bound,
+                          opaque_last, compute_dtype):
+    def kernel(pf_ref, o_ref, d_ref, bins_ref, *refs):
+        w_refs = refs[:n_layers]
+        gw_ref = refs[n_layers]
+        dw_refs = refs[n_layers + 1:]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _zero():
+            for r in dw_refs:
+                r[:] = jnp.zeros_like(r)
+
+        o = o_ref[:].astype(jnp.float32)
+        dd = d_ref[:].astype(jnp.float32)
+        pf_val = pf_ref[:]
+        w_vals = [w[:] for w in w_refs]
+        R = o.shape[1]
+
+        trans = jnp.ones((1, R), jnp.float32)
+        w_l, Tn_l, raw_l, dl_l = [], [], [], []
+        for gi in range(T // G):
+            _, d_sl, hf = _geom_group(o, dd, bins_ref, gi * G, G, pf_val,
+                                      grid_bound)
+            h = _trunk_fwd(hf, w_vals, -1, compute_dtype)
+            raw = h[0:1, :]
+            sigma = jnp.exp(jnp.clip(raw, -30.0, 15.0))
+            for g in range(G):
+                s = gi * G + g
+                sl = slice(g * R, (g + 1) * R)
+                if opaque_last and s == T - 1:
+                    e = jnp.zeros((1, R), jnp.float32)
+                else:
+                    e = jnp.exp(-d_sl[g] * sigma[:, sl])
+                w_l.append((1.0 - e) * trans)
+                Tn_l.append(trans * e)
+                trans = trans * e
+                raw_l.append(raw[:, sl])
+                dl_l.append(d_sl[g])
+
+        S = jnp.zeros((1, R), jnp.float32)
+        for gi in range(T // G - 1, -1, -1):
+            d_raw_sl = [None] * G
+            for g in range(G - 1, -1, -1):
+                s = gi * G + g
+                G_s = gw_ref[s:s + 1, :]
+                d_ds = G_s * Tn_l[s] - S
+                S = S + G_s * w_l[s]
+                if opaque_last and s == T - 1:
+                    # forced-opaque sample: density gets no grad
+                    d_raw_sl[g] = jnp.zeros((1, R), jnp.float32)
+                else:
+                    sigma = jnp.exp(jnp.clip(raw_l[s], -30.0, 15.0))
+                    in_range = (raw_l[s] > -30.0) & (raw_l[s] < 15.0)
+                    d_raw_sl[g] = jnp.where(in_range,
+                                            d_ds * dl_l[s] * sigma, 0.0)
+            _, _, hf = _geom_group(o, dd, bins_ref, gi * G, G, pf_val,
+                                   grid_bound)
+            _, inputs = _trunk_fwd(hf, w_vals, -1, compute_dtype,
+                                   keep_inputs=True)
+            d_raw = (d_raw_sl[0] if G == 1 else
+                     jnp.concatenate(d_raw_sl, axis=1))
+            _trunk_bwd_accum(d_raw, w_vals, inputs, -1, compute_dtype,
+                             dw_refs)
+
+    return kernel
+
+
+def _row_spec(rows, tile):
+    return pl.BlockSpec((rows, tile), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _pad_t(x, pad, cv=0.0):
+    return jnp.pad(x, ((0, pad), (0, 0)), constant_values=cv).T
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def final_level_train(static, rays_o, rays_d, real_bins, sh, *ws):
+    """Differentiable fused final level.  static = (freq_degree, skip_layer,
+    grid_bound, opaque_last).  Returns (f_image [N, C], depth [N],
+    weights_sum [N], weights [N, T]).  Gradients flow ONLY to ws."""
+    out, _ = _final_train_fwd_impl(static, rays_o, rays_d, real_bins, sh, ws)
+    return out
+
+
+def _final_train_fwd_impl(static, rays_o, rays_d, real_bins, sh, ws):
+    freq_degree, skip_layer, grid_bound, opaque_last = static
+    N = rays_o.shape[0]
+    T = real_bins.shape[1] - 1
+    n_layers = len(ws)
+    G = _pick_group(T, GROUP_FWD)
+    pad = (-N) % R_TILE_TRAIN
+    ot, dt = _pad_t(rays_o, pad), _pad_t(rays_d, pad)
+    bt = _pad_t(real_bins, pad, cv=1.0)
+    st = _pad_t(sh, pad)
+    Np = ot.shape[1]
+    Pf = jnp.asarray(_freq_rows_matrix(3, freq_degree))
+    wts = [w.T for w in ws]
+    C = 15 + sh.shape[1]
+
+    kernel = _make_final_train_kernel(T, G, n_layers, skip_layer,
+                                      freq_degree, grid_bound, opaque_last,
+                                      jnp.bfloat16)
+    f_img, depth, wsum, w_out = pl.pallas_call(
+        kernel,
+        interpret=INTERPRET,
+        grid=(Np // R_TILE_TRAIN,),
+        in_specs=[_const_spec(Pf.shape)]
+        + [_row_spec(r, R_TILE_TRAIN) for r in (3, 3, T + 1, sh.shape[1])]
+        + [_const_spec(w.shape) for w in wts],
+        out_specs=(
+            _row_spec(C, R_TILE_TRAIN),
+            _row_spec(1, R_TILE_TRAIN),
+            _row_spec(1, R_TILE_TRAIN),
+            _row_spec(T, R_TILE_TRAIN),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, Np), jnp.float32),
+            jax.ShapeDtypeStruct((1, Np), jnp.float32),
+            jax.ShapeDtypeStruct((1, Np), jnp.float32),
+            jax.ShapeDtypeStruct((T, Np), jnp.float32),
+        ),
+    )(Pf, ot, dt, bt, st, *wts)
+    out = (f_img.T[:N], depth[0, :N], wsum[0, :N], w_out.T[:N])
+    return out, (rays_o, rays_d, real_bins, sh, ws)
+
+
+def _final_train_fwd(static, rays_o, rays_d, real_bins, sh, *ws):
+    return _final_train_fwd_impl(static, rays_o, rays_d, real_bins, sh, ws)
+
+
+def _final_train_bwd(static, res, g):
+    freq_degree, skip_layer, grid_bound, opaque_last = static
+    rays_o, rays_d, real_bins, sh, ws = res
+    g_f, g_depth, g_wsum, g_w = g
+    N = rays_o.shape[0]
+    T = real_bins.shape[1] - 1
+    n_layers = len(ws)
+    G = _pick_group(T, GROUP_BWD_FINAL)
+    pad = (-N) % R_TILE_BWD_FINAL
+    ot, dt = _pad_t(rays_o, pad), _pad_t(rays_d, pad)
+    bt = _pad_t(real_bins, pad, cv=1.0)
+    st = _pad_t(sh, pad)
+    # padded rays contribute zero grad because their upstream grads are 0
+    gft = _pad_t(g_f, pad)
+    gdt = _pad_t(g_depth[:, None], pad)
+    gwst = _pad_t(g_wsum[:, None], pad)
+    gwt = _pad_t(g_w, pad)
+    Np = ot.shape[1]
+    Pf = jnp.asarray(_freq_rows_matrix(3, freq_degree))
+    wts = [w.T for w in ws]
+    C = 15 + sh.shape[1]
+
+    kernel = _make_final_bwd_kernel(T, G, n_layers, skip_layer, freq_degree,
+                                    grid_bound, opaque_last, jnp.bfloat16)
+    in_specs = (
+        [_const_spec(Pf.shape)]
+        + [_row_spec(r, R_TILE_BWD_FINAL) for r in (3, 3, T + 1, sh.shape[1])]
+        + [_const_spec(w.shape) for w in wts]
+        + [_row_spec(r, R_TILE_BWD_FINAL) for r in (C, 1, 1, T)]
+    )
+    dwts = pl.pallas_call(
+        kernel,
+        interpret=INTERPRET,
+        grid=(Np // R_TILE_BWD_FINAL,),
+        in_specs=in_specs,
+        out_specs=tuple(_const_spec(w.shape) for w in wts),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wts
+        ),
+    )(Pf, ot, dt, bt, st, *wts, gft, gdt, gwst, gwt)
+    d_ws = tuple(dw.T for dw in dwts)
+    zeros = (jnp.zeros_like(rays_o), jnp.zeros_like(rays_d),
+             jnp.zeros_like(real_bins), jnp.zeros_like(sh))
+    return zeros + d_ws
+
+
+final_level_train.defvjp(_final_train_fwd, _final_train_bwd)
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def prop_level_train(static, rays_o, rays_d, real_bins, *ws):
+    """Differentiable fused proposal level.  static = (freq_degree,
+    grid_bound, opaque_last).  Returns weights [N, T]; grads flow to ws."""
+    out, _ = _prop_train_fwd_impl(static, rays_o, rays_d, real_bins, ws)
+    return out
+
+
+def _prop_train_fwd_impl(static, rays_o, rays_d, real_bins, ws):
+    freq_degree, grid_bound, opaque_last = static
+    w = fused_prop_level(rays_o, rays_d, real_bins, list(ws), freq_degree,
+                         grid_bound, opaque_last=opaque_last)
+    return w, (rays_o, rays_d, real_bins, ws)
+
+
+def _prop_train_fwd(static, rays_o, rays_d, real_bins, *ws):
+    return _prop_train_fwd_impl(static, rays_o, rays_d, real_bins, ws)
+
+
+def _prop_train_bwd(static, res, g_w):
+    freq_degree, grid_bound, opaque_last = static
+    rays_o, rays_d, real_bins, ws = res
+    N = rays_o.shape[0]
+    T = real_bins.shape[1] - 1
+    n_layers = len(ws)
+    G = _pick_group(T, GROUP_BWD_PROP)
+    pad = (-N) % R_TILE_BWD
+    ot, dt = _pad_t(rays_o, pad), _pad_t(rays_d, pad)
+    bt = _pad_t(real_bins, pad, cv=1.0)
+    gwt = _pad_t(g_w, pad)
+    Np = ot.shape[1]
+    Pf = jnp.asarray(_freq_rows_matrix(3, freq_degree))
+    wts = [w.T for w in ws]
+
+    kernel = _make_prop_bwd_kernel(T, G, n_layers, freq_degree, grid_bound,
+                                   opaque_last, jnp.bfloat16)
+    in_specs = (
+        [_const_spec(Pf.shape)]
+        + [_row_spec(r, R_TILE_BWD) for r in (3, 3, T + 1)]
+        + [_const_spec(w.shape) for w in wts]
+        + [_row_spec(T, R_TILE_BWD)]
+    )
+    dwts = pl.pallas_call(
+        kernel,
+        interpret=INTERPRET,
+        grid=(Np // R_TILE_BWD,),
+        in_specs=in_specs,
+        out_specs=tuple(_const_spec(w.shape) for w in wts),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wts
+        ),
+    )(Pf, ot, dt, bt, *wts, gwt)
+    zeros = (jnp.zeros_like(rays_o), jnp.zeros_like(rays_d),
+             jnp.zeros_like(real_bins))
+    return zeros + tuple(dw.T for dw in dwts)
+
+
+prop_level_train.defvjp(_prop_train_fwd, _prop_train_bwd)

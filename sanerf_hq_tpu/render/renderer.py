@@ -84,11 +84,21 @@ def render_rays(
     s_nears = spacing_fn(nears)  # [N, 1]
     s_fars = spacing_fn(fars)
 
-    upd = jnp.asarray(update_proposal)
+    # A static (python bool) update_proposal lets XLA drop the proposal
+    # backward kernels and the interlevel loss entirely — train steps
+    # lax.cond between the two compiled variants on the reference cadence
+    # (step <= 3000 or step % 5 == 0, nerf/trainer.py:372-373).  A traced
+    # value falls back to where-gating (forward unchanged, grads zeroed).
+    static_upd = isinstance(update_proposal, bool)
+    if static_upd:
+        def grad_gate(x):
+            return x if update_proposal else jax.lax.stop_gradient(x)
+    else:
+        upd = jnp.asarray(update_proposal)
 
-    def grad_gate(x):
-        # gradient flows iff upd is True; forward value unchanged
-        return jnp.where(upd, x, jax.lax.stop_gradient(x))
+        def grad_gate(x):
+            # gradient flows iff upd is True; forward value unchanged
+            return jnp.where(upd, x, jax.lax.stop_gradient(x))
 
     all_bins = []
     all_weights = []
@@ -110,13 +120,17 @@ def render_rays(
     # per-sample side outputs are needed (ops/render_level_pallas.py)
     from ..ops.fused_mlp import PALLAS_ENABLED
 
-    fused_final = (
+    fused_capable = (
         PALLAS_ENABLED
-        and not settings.training
         and not settings.return_feats
         and not settings.return_mask
         and getattr(field, "supports_fused_final", False)
     )
+    fused_final = fused_capable and not settings.training
+    # training megakernels: custom-VJP level kernels (round 2) — same
+    # fusion, gradients for the MLP weights computed by Pallas backward
+    # kernels (ops/render_level_pallas.py)
+    fused_train = fused_capable and settings.training
     fused_out = None
 
     for level, T in enumerate(settings.num_steps):
@@ -135,18 +149,33 @@ def render_rays(
             )
 
         real_bins = spacing_fn_inv(s_nears * (1.0 - bins) + s_fars * bins)  # [N, T+1]
+        opaque = settings.background == "last_sample"
         if fused_final and level == n_levels - 1:
             fused_out = field.fused_final_render(
-                rays_o, rays_d, real_bins,
-                opaque_last=(settings.background == "last_sample"),
+                rays_o, rays_d, real_bins, opaque_last=opaque,
             )
             break
         if fused_final and level < n_levels - 1:
             # proposal megakernel: weights straight out of VMEM
             weights = field.fused_prop_weights(
                 rays_o, rays_d, real_bins, proposal=level,
-                opaque_last=(settings.background == "last_sample"),
+                opaque_last=opaque,
             )
+            continue
+        if fused_train and level == n_levels - 1:
+            f_image_k, depth_k, wsum_k, weights = \
+                field.fused_final_render_train(
+                    rays_o, rays_d, real_bins, opaque_last=opaque)
+            fused_out = (f_image_k, depth_k, wsum_k)
+            all_bins.append(bins)
+            all_weights.append(weights)
+            break
+        if fused_train and level < n_levels - 1:
+            weights = grad_gate(field.fused_prop_weights_train(
+                rays_o, rays_d, real_bins, proposal=level,
+                opaque_last=opaque))
+            all_bins.append(bins)
+            all_weights.append(weights)
             continue
         rays_t = (real_bins[..., 1:] + real_bins[..., :-1]) / 2.0  # [N, T]
         xyzs = rays_o[:, None, :] + rays_d[:, None, :] * rays_t[..., None]  # [N,T,3]
@@ -184,9 +213,15 @@ def render_rays(
         results["weights"] = weights
         if settings.compute_losses:
             # gated by update_proposal like the reference's conditional add
-            results["proposal_loss"] = (
-                proposal_loss(all_bins, all_weights) * upd.astype(jnp.float32)
-            )
+            if static_upd:
+                results["proposal_loss"] = (
+                    proposal_loss(all_bins, all_weights) if update_proposal
+                    else jnp.float32(0.0))
+            else:
+                results["proposal_loss"] = (
+                    proposal_loss(all_bins, all_weights)
+                    * upd.astype(jnp.float32)
+                )
             results["distort_loss"] = distort_loss(bins, weights)
 
     image = image + (1.0 - weights_sum)[..., None] * bg_color

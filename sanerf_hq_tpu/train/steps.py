@@ -78,9 +78,8 @@ def make_rgb_train_step(model, cfg: Config, donate: bool = True):
     )
     reg_loss = _grid_regularizers(model, cfg, "rgb")
 
-    def loss_fn(params, batch, key):
-        step = batch["step"]
-        update_proposal = (step <= 3000) | (step % 5 == 0)
+    def make_loss(update_proposal: bool):
+      def loss_fn(params, batch, key):
         images = batch["gt_rgb"]
         if cfg.background == "random":
             bg_color = jax.random.uniform(
@@ -120,9 +119,25 @@ def make_rgb_train_step(model, cfg: Config, donate: bool = True):
         metrics["psnr"] = -10.0 * jnp.log10(jnp.maximum(metrics["mse"], 1e-10))
         return loss, metrics
 
+      return loss_fn
+
+    # Two statically-specialized loss variants lax.cond'd on the reference
+    # proposal-update cadence (nerf/trainer.py:372-373): on non-update
+    # steps the compiled branch contains NO proposal backward kernels and
+    # no interlevel loss at all — in steady state (step > 3000) 4 of 5
+    # steps take the cheap branch.
+    loss_upd = make_loss(True)
+    loss_no_upd = make_loss(False)
+
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch, key):
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params, batch, key)
+        step = batch["step"]
+        grads, metrics = jax.lax.cond(
+            (step <= 3000) | (step % 5 == 0),
+            lambda a: jax.grad(loss_upd, has_aux=True)(*a),
+            lambda a: jax.grad(loss_no_upd, has_aux=True)(*a),
+            (state.params, batch, key),
+        )
         new_state = state.apply_gradients(grads)
         return new_state, metrics
 

@@ -87,8 +87,15 @@ def test_1dev_vs_8dev_training_equivalence():
         # across most elements, far outside these bounds.
         diff = np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))
         name = jax.tree_util.keystr(path)
-        assert diff.max() < 5e-4, f"{name}: max abs diff {diff.max():.2e}"
+        # Adam(eps=1e-15) turns ANY zero-vs-nonzero grad rounding flip into
+        # an ~lr-sized jump on that single element (g/sqrt(g^2) ~ sign(g)),
+        # and f32 reduction order differs across shardings — so individual
+        # elements may move ~1e-2.  A real sharding bug (unaveraged grads)
+        # shifts MOST elements: guard the mean and the outlier fraction.
+        assert diff.max() < 2e-2, f"{name}: max abs diff {diff.max():.2e}"
         assert diff.mean() < 1e-5, f"{name}: mean abs diff {diff.mean():.2e}"
+        frac = (diff > 1e-3).mean()
+        assert frac < 0.01, f"{name}: {frac:.1%} of elements differ >1e-3"
 
 
 def test_sharded_eval_psum_matches_single_device():

@@ -1,0 +1,157 @@
+"""Interpret-mode tests of the Pallas level megakernels (fwd + custom VJP).
+
+The real kernels run on TPU only (Mosaic); here pallas interpret mode runs
+the SAME kernel python on CPU against a pure-jnp twin of the level math
+(the same math render/renderer.py's composable path uses).  This guards
+the kernel/VJP algebra — grouped sample batching, closed-form compositing
+backward, relu-mask-from-inputs — in CI; the TPU lowering itself is
+checked on hardware by scripts/check_fused_train_grads.py.
+
+Reference semantics under test: fixed-shape proposal rendering
+(/root/reference/nerf/renderer.py:261-330) with opaque-last-sample
+compositing (:308-325).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sanerf_hq_tpu.ops.render_level_pallas as rlp
+
+N, T = 256, 8
+STATIC_F = (10, 2, 128.0, True)   # freq_degree, skip_layer, bound, opaque
+STATIC_P = (6, 128.0, True)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_small_tiles(monkeypatch):
+    monkeypatch.setattr(rlp, "INTERPRET", True)
+    monkeypatch.setattr(rlp, "R_TILE", 256)
+    monkeypatch.setattr(rlp, "R_TILE_TRAIN", 256)
+    monkeypatch.setattr(rlp, "R_TILE_BWD", 256)
+    monkeypatch.setattr(rlp, "R_TILE_BWD_FINAL", 256)
+
+
+@pytest.fixture()
+def rays():
+    rng = np.random.default_rng(0)
+    ro = jnp.asarray(rng.normal(size=(N, 3)), jnp.float32) * 2
+    rd = jnp.asarray(rng.normal(size=(N, 3)), jnp.float32)
+    bins = jnp.asarray(np.sort(rng.uniform(0.2, 4.0, (N, T + 1)), axis=1),
+                       jnp.float32)
+    sh = jnp.asarray(rng.normal(size=(N, 16)), jnp.float32)
+    return ro, rd, bins, sh
+
+
+def _contract(xyz, bound):
+    ax = jnp.abs(xyz)
+    mag = jnp.max(ax, axis=-1, keepdims=True)
+    inv = 1.0 / jnp.maximum(mag, 1e-38)
+    scale = jnp.where(ax == mag, (2.0 - inv) * inv, inv)
+    return jnp.where(mag < 1.0, xyz, xyz * scale) / bound
+
+
+def _mlp(xyz, ws, degree, skip):
+    f = jnp.concatenate([xyz * (2.0 ** k) for k in range(degree)], -1)
+    h = jnp.concatenate([xyz, jnp.sin(f), jnp.cos(f)], -1).astype(jnp.bfloat16)
+    h_in = h
+    for l, w in enumerate(ws):
+        if l == skip:
+            h = jnp.concatenate([h, h_in], -1)
+        h = jnp.dot(h, w.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        if l != len(ws) - 1:
+            h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+    return h
+
+
+def _composite(h, bins, opaque_last):
+    t = (bins[:, 1:] + bins[:, :-1]) / 2
+    delta = bins[:, 1:] - bins[:, :-1]
+    sigma = jnp.exp(jnp.clip(h[..., 0], -30, 15))
+    ds = delta * sigma
+    if opaque_last:
+        ds = ds.at[:, -1].set(jnp.inf)
+    alpha = 1 - jnp.exp(-ds)
+    trans = jnp.exp(-jnp.cumsum(jnp.pad(ds[:, :-1], ((0, 0), (1, 0))), -1))
+    return alpha * trans, t
+
+
+def ref_final(ro, rd, bins, sh, ws, static):
+    degree, skip, bound, opaque = static
+    t_mid = (bins[:, 1:] + bins[:, :-1]) / 2
+    xyz = _contract(ro[:, None] + rd[:, None] * t_mid[..., None], bound)
+    h = _mlp(xyz, ws, degree, skip)
+    w_s, t = _composite(h, bins, opaque)
+    color = jnp.concatenate([h[..., 1:], jnp.tile(sh[:, None], (1, T, 1))], -1)
+    return (jnp.sum(w_s[..., None] * color, 1), jnp.sum(w_s * t, 1),
+            jnp.sum(w_s, 1), w_s)
+
+
+def ref_prop(ro, rd, bins, ws, static):
+    degree, bound, opaque = static
+    t_mid = (bins[:, 1:] + bins[:, :-1]) / 2
+    xyz = _contract(ro[:, None] + rd[:, None] * t_mid[..., None], bound)
+    h = _mlp(xyz, ws, degree, -1)
+    w_s, _ = _composite(h, bins, opaque)
+    return w_s
+
+
+def _rel(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+
+
+def test_final_level_forward_and_vjp(rays):
+    ro, rd, bins, sh = rays
+    rng = np.random.default_rng(1)
+    ws = tuple(jnp.asarray(rng.normal(size=s) * 0.3, jnp.float32)
+               for s in [(63, 256), (256, 256), (319, 256), (256, 16)])
+
+    out_k = rlp.final_level_train(STATIC_F, ro, rd, bins, sh, *ws)
+    out_r = ref_final(ro, rd, bins, sh, list(ws), STATIC_F)
+    for name, a, b in zip(("f_img", "depth", "wsum", "weights"), out_k, out_r):
+        assert _rel(a, b) < 2e-2, name
+
+    def loss(fn):
+        def f(ws_):
+            fi, d, w, ww = fn(ws_)
+            return (jnp.sum(fi ** 2) + 0.1 * jnp.sum(d) + 0.01 * jnp.sum(w)
+                    + jnp.sum(ww ** 2))
+        return f
+
+    gk = jax.grad(loss(lambda w_: rlp.final_level_train(
+        STATIC_F, ro, rd, bins, sh, *w_)))(ws)
+    gr = jax.grad(loss(lambda w_: ref_final(
+        ro, rd, bins, sh, list(w_), STATIC_F)))(ws)
+    for i, (a, b) in enumerate(zip(gk, gr)):
+        assert _rel(a, b) < 2e-2, f"dW{i}"
+
+
+def test_prop_level_forward_and_vjp(rays):
+    ro, rd, bins, _ = rays
+    rng = np.random.default_rng(2)
+    ws = tuple(jnp.asarray(rng.normal(size=s) * 0.3, jnp.float32)
+               for s in [(39, 64), (64, 64), (64, 1)])
+
+    w_k = rlp.prop_level_train(STATIC_P, ro, rd, bins, *ws)
+    w_r = ref_prop(ro, rd, bins, list(ws), STATIC_P)
+    assert _rel(w_k, w_r) < 2e-2
+
+    gk = jax.grad(lambda w_: jnp.sum(rlp.prop_level_train(
+        STATIC_P, ro, rd, bins, *w_) ** 2))(ws)
+    gr = jax.grad(lambda w_: jnp.sum(ref_prop(
+        ro, rd, bins, list(w_), STATIC_P) ** 2))(ws)
+    for i, (a, b) in enumerate(zip(gk, gr)):
+        assert _rel(a, b) < 2e-2, f"prop dW{i}"
+
+
+def test_grads_do_not_flow_to_rays_or_bins(rays):
+    ro, rd, bins, sh = rays
+    rng = np.random.default_rng(3)
+    ws = tuple(jnp.asarray(rng.normal(size=s) * 0.3, jnp.float32)
+               for s in [(63, 256), (256, 256), (319, 256), (256, 16)])
+    g = jax.grad(lambda r, b: jnp.sum(rlp.final_level_train(
+        STATIC_F, r, rd, b, sh, *ws)[0] ** 2), argnums=(0, 1))(ro, bins)
+    assert float(jnp.abs(g[0]).max()) == 0.0
+    assert float(jnp.abs(g[1]).max()) == 0.0
