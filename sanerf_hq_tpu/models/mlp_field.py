@@ -53,18 +53,19 @@ class FreqMLP(nn.Module):
     num_layers: int = 4
     freq_degree: int = 10
     skip_layer: int = -1
+    extra_dim: int = 0  # width of optional features appended to freq(x)
     # fused Pallas path (transposed layout, points on lanes): measured
     # 2.8-4.6x faster than unfused XLA for both narrow and wide networks
     # (docs/PERF.md); opt-out per instance for debugging
     fused: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, extra=None):
         from ..ops.fused_mlp import fused_freq_mlp
         from ..ops.freq import freq_output_dim
 
         D = x.shape[-1]
-        in_dim = freq_output_dim(D, self.freq_degree)
+        in_dim = freq_output_dim(D, self.freq_degree) + self.extra_dim
         ws = []
         fin = in_dim
         for l in range(self.num_layers):
@@ -73,6 +74,14 @@ class FreqMLP(nn.Module):
             fout = self.dim_out if l == self.num_layers - 1 else self.dim_hidden
             ws.append(self.param(f"w{l}", torch_kernel_init, (fin, fout)))
             fin = fout
+        if self.extra_dim:
+            # extra features ride the unfused path for now (the fused
+            # kernel signature is freq-only); layer-0 weights absorb the
+            # [freq | extra] layout
+            from ..ops.fused_mlp import _reference_forward_with_extra
+
+            return _reference_forward_with_extra(
+                x, extra, ws, self.freq_degree, self.skip_layer)
         use_pallas = None if self.fused else False
         return fused_freq_mlp(x, ws, self.freq_degree, self.skip_layer,
                               use_pallas=use_pallas)
@@ -93,13 +102,32 @@ class MLPField(nn.Module):
     prop_hidden: int = 64
     prop_layers: int = 3
     prop_freq_degree: int = 6
+    # shifts initial density to exp(density_bias): at 0 the init field is
+    # near-opaque (optical depth to the far plane ~ bound), transmittance
+    # dies before the scene and training falls into a near-plane local
+    # optimum on textured scenes; a negative bias keeps far samples alive
+    density_bias: float = 0.0
+    # CP-factorized spatial features (TensoRF-style, arXiv 2203.09517):
+    # per-axis basis vectors contracted against linear-interp one-hots.
+    # On TPU this is MXU matmul work, not hash gathers — the spatial
+    # capacity the pure freq-MLP lacks on textured scenes at hash-grid
+    # speed.  cp_rank 0 disables (plain freq-MLP flagship).
+    cp_rank: int = 0
+    cp_res: int = 256
     feat_spec: Optional[HashGridSpec] = None
 
     def setup(self):
         self.trunk = FreqMLP(
             1 + GEOM_FEAT_DIM, self.hidden, self.num_layers,
             self.freq_degree, skip_layer=self.num_layers // 2, fused=True,
+            extra_dim=self.cp_rank,
         )
+        if self.cp_rank > 0:
+            init = nn.initializers.normal(0.3)
+            self.cp_basis = [
+                self.param(f"cp_{a}", init, (self.cp_res, self.cp_rank))
+                for a in "xyz"
+            ]
         self.view_mlp = MLP(3, 32, 3, use_bias=False)
         self.prop_mlp_0 = FreqMLP(1, self.prop_hidden, self.prop_layers,
                                   self.prop_freq_degree, fused=True)
@@ -139,18 +167,35 @@ class MLPField(nn.Module):
         # contracted coords in [-grid_bound, grid_bound] -> [-1, 1]
         return x / self.grid_bound
 
-    @staticmethod
-    def _density_act(raw):
+    def _density_act(self, raw):
         # forward-clamped exp density: exp dynamics learn geometry fast
         # (softplus stalls in the white-background local optimum — see
         # docs/PERF.md quality notes) while the clamp prevents the inf
         # sigmas that NaN'd the unclamped trunc_exp on dense-MLP outputs.
         from ..ops.trunc_exp import safe_trunc_exp
 
-        return safe_trunc_exp(raw)
+        return safe_trunc_exp(raw + self.density_bias)
+
+    def cp_features(self, xn):
+        """xn: [..., 3] in [-1, 1].  Linear-interp CP line features,
+        product over axes -> [..., cp_rank].  XLA path uses row gathers;
+        the fused kernels do the same contraction as one-hot matmuls."""
+        S = self.cp_res
+        p = jnp.clip((xn + 1.0) * 0.5, 0.0, 1.0) * (S - 1)
+        i0 = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, S - 2)
+        f = p - i0
+        g = None
+        for a in range(3):
+            B = self.cp_basis[a]
+            La = (jnp.take(B, i0[..., a], axis=0) * (1.0 - f[..., a, None])
+                  + jnp.take(B, i0[..., a] + 1, axis=0) * f[..., a, None])
+            g = La if g is None else g * La
+        return g
 
     def common_forward(self, x):
-        f = self.trunk(self._norm(x))
+        xn = self._norm(x)
+        extra = self.cp_features(xn) if self.cp_rank > 0 else None
+        f = self.trunk(xn, extra=extra)
         sigma = self._density_act(f[..., 0])
         feat = f[..., 1:]
         return sigma, feat, f
@@ -172,8 +217,12 @@ class MLPField(nn.Module):
     def apply_view_mlp(self, f_image):
         return self.view_mlp(f_image)
 
-    # inference megakernel support (ops/render_level_pallas.py)
-    supports_fused_final = True
+    # inference megakernel support (ops/render_level_pallas.py); the CP
+    # variant rides the XLA path until the kernels learn the one-hot
+    # contraction
+    @property
+    def supports_fused_final(self):
+        return self.cp_rank == 0
 
     def fused_prop_weights(self, rays_o, rays_d, real_bins, proposal: int,
                            opaque_last: bool = True):
@@ -184,7 +233,8 @@ class MLPField(nn.Module):
               for l in range(self.prop_layers)]
         return fused_prop_level(rays_o, rays_d, real_bins, ws,
                                 self.prop_freq_degree, self.grid_bound,
-                                opaque_last=opaque_last)
+                                opaque_last=opaque_last,
+                                density_bias=self.density_bias)
 
     def fused_final_render(self, rays_o, rays_d, real_bins,
                            opaque_last: bool = True):
@@ -200,7 +250,7 @@ class MLPField(nn.Module):
         return fused_final_level(
             rays_o, rays_d, real_bins, sh, ws, self.freq_degree,
             skip_layer=self.num_layers // 2, grid_bound=self.grid_bound,
-            opaque_last=opaque_last,
+            opaque_last=opaque_last, density_bias=self.density_bias,
         )
 
     # training megakernels (custom-VJP, ops/render_level_pallas.py)
@@ -212,7 +262,8 @@ class MLPField(nn.Module):
         ws = [mlp.variables["params"][f"w{l}"]
               for l in range(self.prop_layers)]
         return prop_level_train(
-            (self.prop_freq_degree, self.grid_bound, opaque_last),
+            (self.prop_freq_degree, self.grid_bound, opaque_last,
+             self.density_bias),
             rays_o, rays_d, real_bins, *ws)
 
     def fused_final_render_train(self, rays_o, rays_d, real_bins,
@@ -227,7 +278,7 @@ class MLPField(nn.Module):
               for l in range(self.num_layers)]
         return final_level_train(
             (self.freq_degree, self.num_layers // 2, self.grid_bound,
-             opaque_last),
+             opaque_last, self.density_bias),
             rays_o, rays_d, real_bins, sh, *ws)
 
     def sam_features(self, x):
@@ -284,6 +335,7 @@ def make_field(field_type: str = "hashgrid", **kw):
         allowed = {"grid_bound", "with_sam", "with_mask", "mask_mlp_type",
                    "n_inst", "sam_use_view_direction", "hidden", "num_layers",
                    "freq_degree", "prop_hidden", "prop_layers",
-                   "prop_freq_degree", "feat_spec"}
+                   "prop_freq_degree", "density_bias", "cp_rank", "cp_res",
+                   "feat_spec"}
         return MLPField(**{k: v for k, v in kw.items() if k in allowed})
     raise ValueError(f"unknown field_type {field_type}")

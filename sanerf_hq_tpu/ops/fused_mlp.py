@@ -66,6 +66,27 @@ def _reference_forward(x, ws, freq_degree: int, skip_layer: int,
     return h.astype(jnp.float32)
 
 
+def _reference_forward_with_extra(x, extra, ws, freq_degree: int,
+                                  skip_layer: int,
+                                  compute_dtype=jnp.bfloat16):
+    """_reference_forward with extra features appended to the freq
+    encoding (layer-0 input layout [freq(x) | extra])."""
+    h = jnp.concatenate(
+        [_freq(x.astype(jnp.float32), freq_degree, compute_dtype),
+         extra.astype(compute_dtype)], axis=-1)
+    h_in = h
+    n = len(ws)
+    for l, w in enumerate(ws):
+        if l == skip_layer:
+            h = jnp.concatenate([h, h_in], axis=-1)
+        h = jnp.dot(h, w.astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        if l != n - 1:
+            h = jnp.maximum(h, 0.0)
+        h = h.astype(compute_dtype) if l != n - 1 else h
+    return h.astype(jnp.float32)
+
+
 def _freq_expansion_matrix(D: int, degree: int) -> np.ndarray:
     """[D, F] projection whose output columns are laid out like _freq:
     [x | 2^0 x .. 2^(deg-1) x (sin block) | same (cos block)]."""

@@ -52,7 +52,7 @@ INTERPRET = False    # run kernels in interpret mode (CPU debug/tests)
 
 def fused_final_level(rays_o, rays_d, real_bins, sh, ws: Sequence,
                       freq_degree: int, skip_layer: int, grid_bound: float,
-                      opaque_last: bool = True):
+                      opaque_last: bool = True, density_bias: float = 0.0):
     """rays_o/rays_d: [N, 3]; real_bins: [N, T+1]; sh: [N, 16] per-ray
     direction encoding; ws: trunk kernels [in, out].
     Returns (f_image [N, 31], depth [N], weights_sum [N]).
@@ -62,7 +62,7 @@ def fused_final_level(rays_o, rays_d, real_bins, sh, ws: Sequence,
     a negligible HBM write), so inference and training share one
     implementation and one compiled kernel."""
     f_img, depth, wsum, _ = final_level_train(
-        (freq_degree, skip_layer, grid_bound, opaque_last),
+        (freq_degree, skip_layer, grid_bound, opaque_last, density_bias),
         rays_o, rays_d, real_bins, sh, *ws)
     return f_img, depth, wsum
 
@@ -74,7 +74,8 @@ def fused_final_level(rays_o, rays_d, real_bins, sh, ws: Sequence,
 # ---------------------------------------------------------------------------
 
 def _make_prop_kernel(T: int, G: int, n_layers: int, freq_degree: int,
-                      grid_bound: float, opaque_last: bool, compute_dtype):
+                      grid_bound: float, opaque_last: bool, db: float,
+                      compute_dtype):
     def kernel(pf_ref, o_ref, d_ref, bins_ref, *refs):
         w_refs = refs[:n_layers]
         wout_ref = refs[n_layers]
@@ -90,7 +91,7 @@ def _make_prop_kernel(T: int, G: int, n_layers: int, freq_degree: int,
             _, d_sl, hf = _geom_group(o, dd, bins_ref, gi * G, G, pf_val,
                                       grid_bound)
             h = _trunk_fwd(hf, w_vals, -1, compute_dtype)
-            sigma = jnp.exp(jnp.clip(h[0:1, :], -30.0, 15.0))
+            sigma = jnp.exp(jnp.clip(h[0:1, :] + db, -30.0, 15.0))
             for g in range(G):
                 s = gi * G + g
                 sl = slice(g * R, (g + 1) * R)
@@ -106,7 +107,7 @@ def _make_prop_kernel(T: int, G: int, n_layers: int, freq_degree: int,
 
 def fused_prop_level(rays_o, rays_d, real_bins, ws: Sequence,
                      freq_degree: int, grid_bound: float,
-                     opaque_last: bool = True):
+                     opaque_last: bool = True, density_bias: float = 0.0):
     """Returns per-sample compositing weights [N, T] of a proposal level."""
     N = rays_o.shape[0]
     T = real_bins.shape[1] - 1
@@ -122,7 +123,7 @@ def fused_prop_level(rays_o, rays_d, real_bins, ws: Sequence,
     Pf = jnp.asarray(_freq_rows_matrix(3, freq_degree))
     wts = [w.T for w in ws]
     kernel = _make_prop_kernel(T, G, n_layers, freq_degree, grid_bound,
-                               opaque_last, jnp.bfloat16)
+                               opaque_last, density_bias, jnp.bfloat16)
     wout = pl.pallas_call(
         kernel,
         interpret=INTERPRET,
@@ -274,7 +275,7 @@ def _trunk_bwd_accum(dh, w_vals, inputs, skip_layer, compute_dtype,
 
 
 def _make_final_train_kernel(T, G, n_layers, skip_layer, freq_degree,
-                             grid_bound, opaque_last, compute_dtype):
+                             grid_bound, opaque_last, db, compute_dtype):
     def kernel(pf_ref, o_ref, d_ref, bins_ref, sh_ref, *refs):
         w_refs = refs[:n_layers]
         fimg_ref, depth_ref, wsum_ref, w_out_ref = refs[n_layers:]
@@ -293,7 +294,7 @@ def _make_final_train_kernel(T, G, n_layers, skip_layer, freq_degree,
             t_sl, d_sl, hf = _geom_group(o, dd, bins_ref, gi * G, G, pf_val,
                                          grid_bound)
             h = _trunk_fwd(hf, w_vals, skip_layer, compute_dtype)
-            sigma = jnp.exp(jnp.clip(h[0:1, :], -30.0, 15.0))  # [1, G*R]
+            sigma = jnp.exp(jnp.clip(h[0:1, :] + db, -30.0, 15.0))  # [1, G*R]
             for g in range(G):
                 s = gi * G + g
                 sl = slice(g * R, (g + 1) * R)
@@ -316,7 +317,7 @@ def _make_final_train_kernel(T, G, n_layers, skip_layer, freq_degree,
 
 
 def _make_final_bwd_kernel(T, G, n_layers, skip_layer, freq_degree,
-                           grid_bound, opaque_last, compute_dtype):
+                           grid_bound, opaque_last, db, compute_dtype):
     def kernel(pf_ref, o_ref, d_ref, bins_ref, sh_ref, *refs):
         w_refs = refs[:n_layers]
         gf_ref, gd_ref, gws_ref, gw_ref = refs[n_layers:n_layers + 4]
@@ -351,7 +352,7 @@ def _make_final_bwd_kernel(T, G, n_layers, skip_layer, freq_degree,
                                          grid_bound)
             h = _trunk_fwd(hf, w_vals, skip_layer, compute_dtype)
             raw = h[0:1, :]
-            sigma = jnp.exp(jnp.clip(raw, -30.0, 15.0))
+            sigma = jnp.exp(jnp.clip(raw + db, -30.0, 15.0))
             dotcol = jnp.sum(gf_tile * h[1:, :], axis=0,
                              keepdims=True)  # [1, G*R]
             for g in range(G):
@@ -382,8 +383,8 @@ def _make_final_bwd_kernel(T, G, n_layers, skip_layer, freq_degree,
                 if opaque_last and s == T - 1:
                     d_raw_sl[g] = jnp.zeros((1, R), jnp.float32)
                 else:
-                    sigma = jnp.exp(jnp.clip(raw_l[s], -30.0, 15.0))
-                    in_range = (raw_l[s] > -30.0) & (raw_l[s] < 15.0)
+                    sigma = jnp.exp(jnp.clip(raw_l[s] + db, -30.0, 15.0))
+                    in_range = (raw_l[s] + db > -30.0) & (raw_l[s] + db < 15.0)
                     d_raw_sl[g] = jnp.where(in_range,
                                             d_ds * dl_l[s] * sigma, 0.0)
             _, _, hf = _geom_group(o, dd, bins_ref, gi * G, G, pf_val,
@@ -402,7 +403,7 @@ def _make_final_bwd_kernel(T, G, n_layers, skip_layer, freq_degree,
 
 
 def _make_prop_bwd_kernel(T, G, n_layers, freq_degree, grid_bound,
-                          opaque_last, compute_dtype):
+                          opaque_last, db, compute_dtype):
     def kernel(pf_ref, o_ref, d_ref, bins_ref, *refs):
         w_refs = refs[:n_layers]
         gw_ref = refs[n_layers]
@@ -426,7 +427,7 @@ def _make_prop_bwd_kernel(T, G, n_layers, freq_degree, grid_bound,
                                       grid_bound)
             h = _trunk_fwd(hf, w_vals, -1, compute_dtype)
             raw = h[0:1, :]
-            sigma = jnp.exp(jnp.clip(raw, -30.0, 15.0))
+            sigma = jnp.exp(jnp.clip(raw + db, -30.0, 15.0))
             for g in range(G):
                 s = gi * G + g
                 sl = slice(g * R, (g + 1) * R)
@@ -452,8 +453,8 @@ def _make_prop_bwd_kernel(T, G, n_layers, freq_degree, grid_bound,
                     # forced-opaque sample: density gets no grad
                     d_raw_sl[g] = jnp.zeros((1, R), jnp.float32)
                 else:
-                    sigma = jnp.exp(jnp.clip(raw_l[s], -30.0, 15.0))
-                    in_range = (raw_l[s] > -30.0) & (raw_l[s] < 15.0)
+                    sigma = jnp.exp(jnp.clip(raw_l[s] + db, -30.0, 15.0))
+                    in_range = (raw_l[s] + db > -30.0) & (raw_l[s] + db < 15.0)
                     d_raw_sl[g] = jnp.where(in_range,
                                             d_ds * dl_l[s] * sigma, 0.0)
             _, _, hf = _geom_group(o, dd, bins_ref, gi * G, G, pf_val,
@@ -487,14 +488,14 @@ from functools import partial as _partial
 @_partial(jax.custom_vjp, nondiff_argnums=(0,))
 def final_level_train(static, rays_o, rays_d, real_bins, sh, *ws):
     """Differentiable fused final level.  static = (freq_degree, skip_layer,
-    grid_bound, opaque_last).  Returns (f_image [N, C], depth [N],
-    weights_sum [N], weights [N, T]).  Gradients flow ONLY to ws."""
+    grid_bound, opaque_last, density_bias).  Returns (f_image [N, C],
+    depth [N], weights_sum [N], weights [N, T]).  Grads flow ONLY to ws."""
     out, _ = _final_train_fwd_impl(static, rays_o, rays_d, real_bins, sh, ws)
     return out
 
 
 def _final_train_fwd_impl(static, rays_o, rays_d, real_bins, sh, ws):
-    freq_degree, skip_layer, grid_bound, opaque_last = static
+    freq_degree, skip_layer, grid_bound, opaque_last, db = static
     N = rays_o.shape[0]
     T = real_bins.shape[1] - 1
     n_layers = len(ws)
@@ -510,7 +511,7 @@ def _final_train_fwd_impl(static, rays_o, rays_d, real_bins, sh, ws):
 
     kernel = _make_final_train_kernel(T, G, n_layers, skip_layer,
                                       freq_degree, grid_bound, opaque_last,
-                                      jnp.bfloat16)
+                                      db, jnp.bfloat16)
     f_img, depth, wsum, w_out = pl.pallas_call(
         kernel,
         interpret=INTERPRET,
@@ -540,7 +541,7 @@ def _final_train_fwd(static, rays_o, rays_d, real_bins, sh, *ws):
 
 
 def _final_train_bwd(static, res, g):
-    freq_degree, skip_layer, grid_bound, opaque_last = static
+    freq_degree, skip_layer, grid_bound, opaque_last, db = static
     rays_o, rays_d, real_bins, sh, ws = res
     g_f, g_depth, g_wsum, g_w = g
     N = rays_o.shape[0]
@@ -562,7 +563,7 @@ def _final_train_bwd(static, res, g):
     C = 15 + sh.shape[1]
 
     kernel = _make_final_bwd_kernel(T, G, n_layers, skip_layer, freq_degree,
-                                    grid_bound, opaque_last, jnp.bfloat16)
+                                    grid_bound, opaque_last, db, jnp.bfloat16)
     in_specs = (
         [_const_spec(Pf.shape)]
         + [_row_spec(r, R_TILE_BWD_FINAL) for r in (3, 3, T + 1, sh.shape[1])]
@@ -591,15 +592,17 @@ final_level_train.defvjp(_final_train_fwd, _final_train_bwd)
 @_partial(jax.custom_vjp, nondiff_argnums=(0,))
 def prop_level_train(static, rays_o, rays_d, real_bins, *ws):
     """Differentiable fused proposal level.  static = (freq_degree,
-    grid_bound, opaque_last).  Returns weights [N, T]; grads flow to ws."""
+    grid_bound, opaque_last, density_bias).  Returns weights [N, T];
+    grads flow to ws."""
     out, _ = _prop_train_fwd_impl(static, rays_o, rays_d, real_bins, ws)
     return out
 
 
 def _prop_train_fwd_impl(static, rays_o, rays_d, real_bins, ws):
-    freq_degree, grid_bound, opaque_last = static
+    freq_degree, grid_bound, opaque_last, db = static
     w = fused_prop_level(rays_o, rays_d, real_bins, list(ws), freq_degree,
-                         grid_bound, opaque_last=opaque_last)
+                         grid_bound, opaque_last=opaque_last,
+                         density_bias=db)
     return w, (rays_o, rays_d, real_bins, ws)
 
 
@@ -608,7 +611,7 @@ def _prop_train_fwd(static, rays_o, rays_d, real_bins, *ws):
 
 
 def _prop_train_bwd(static, res, g_w):
-    freq_degree, grid_bound, opaque_last = static
+    freq_degree, grid_bound, opaque_last, db = static
     rays_o, rays_d, real_bins, ws = res
     N = rays_o.shape[0]
     T = real_bins.shape[1] - 1
@@ -623,7 +626,7 @@ def _prop_train_bwd(static, res, g_w):
     wts = [w.T for w in ws]
 
     kernel = _make_prop_bwd_kernel(T, G, n_layers, freq_degree, grid_bound,
-                                   opaque_last, jnp.bfloat16)
+                                   opaque_last, db, jnp.bfloat16)
     in_specs = (
         [_const_spec(Pf.shape)]
         + [_row_spec(r, R_TILE_BWD) for r in (3, 3, T + 1)]

@@ -35,10 +35,13 @@ def ssim(pred, gt, data_range: float = 1.0, k1: float = 0.01, k2: float = 0.03):
     c2 = (k2 * data_range) ** 2
 
     def filt(img):
-        # [H, W, C] -> depthwise conv
+        # [H, W, C] -> depthwise conv.  precision=HIGHEST: on TPU the
+        # default bf16 conv loses the E[x^2]-E[x]^2 cancellation (variances
+        # go negative ~1e-3, inflating SSIM past 1)
         x = jnp.transpose(img, (2, 0, 1))[:, None]  # [C,1,H,W]
         out = jax.lax.conv_general_dilated(
-            x, jnp.transpose(kern, (3, 2, 0, 1)), (1, 1), "VALID"
+            x, jnp.transpose(kern, (3, 2, 0, 1)), (1, 1), "VALID",
+            precision=jax.lax.Precision.HIGHEST,
         )
         return out[:, 0]  # [C, H', W']
 

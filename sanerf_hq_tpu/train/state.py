@@ -62,7 +62,15 @@ def scale_updates_by_tree(scales) -> optax.GradientTransformation:
         return optax.EmptyState()
 
     def update(updates, state, params=None):
-        return jax.tree.map(lambda u, s: u * s, updates, scales), state
+        # under optax.multi_transform (freeze masks) frozen leaves arrive
+        # as MaskedNode placeholders — pass them through untouched
+        def mul(u, s):
+            return u if isinstance(u, optax.MaskedNode) else u * s
+
+        scaled = jax.tree.map(
+            mul, updates, scales,
+            is_leaf=lambda x: isinstance(x, optax.MaskedNode))
+        return scaled, state
 
     return optax.GradientTransformation(init, update)
 
@@ -99,10 +107,13 @@ def mlp_field_lr_scales(params, mlp_scale: float = 0.05):
     import flax
 
     flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(params))
-    scales = {
-        k: (1.0 if any(p in ("s_grid", "m_grid") for p in k) else mlp_scale)
-        for k in flat
-    }
+    # feature tables (hash grids, CP bases) keep the base lr like the
+    # reference's grid embeddings; only dense kernels get the reduced lr
+    def is_table(k):
+        return any(p in ("s_grid", "m_grid") or p.startswith("cp_")
+                   for p in k)
+
+    scales = {k: (1.0 if is_table(k) else mlp_scale) for k in flat}
     return flax.traverse_util.unflatten_dict(scales)
 
 

@@ -11,6 +11,7 @@ derived from eval_cnt/save_cnt.
 """
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Optional
@@ -172,18 +173,49 @@ class Trainer:
                 batch["step"] = state.step
                 return train_step(state, batch, kr)
 
-            self._full_step = full_step
+            full_step = self._full_step = full_step
+
+            # chain a whole epoch of steps DEVICE-side: per-step host
+            # dispatch costs a tunnel round-trip (~27 ms) and
+            # int(state.step) blocks on it — one scan per epoch brings the
+            # CLI trainer to the benched step rate (see bench.py timing
+            # notes)
+            @functools.partial(jax.jit, static_argnums=(2, 3))
+            def run_epoch(state, key, k, ema):
+                def body(st, i):
+                    return full_step(st, jax.random.fold_in(key, i))
+
+                state, ms = jax.lax.scan(body, state, jnp.arange(k))
+                # EMA per epoch (nerf/trainer.py:1522) inside the jit —
+                # the unjitted tree.map costs one dispatch round-trip PER
+                # LEAF through the device tunnel; applied on the LAST
+                # chunk of the epoch only
+                if ema:
+                    state = state.update_ema()
+                return state, jax.tree.map(lambda x: x[-1], ms)
+
+            self._run_epoch = run_epoch
 
         t_start = time.time()
         step0 = int(self.state.step)
+        # scan chunks are capped: very long device-side scans of the
+        # hash-grid step (scatter_add backward) have crashed the TPU
+        # worker at 112 steps while 22-step scans run fine; 32 keeps the
+        # dispatch overhead amortized ~100x without tickling that
+        SCAN_CAP = 32
         for epoch in range(1, max_epoch + 1):
-            losses = []
-            for _ in range(steps_per_epoch):
-                if int(self.state.step) >= cfg.iters:
-                    break
-                self.key, sub = jax.random.split(self.key)
-                self.state, metrics = self._full_step(self.state, sub)
-                losses.append(metrics)
+            k = min(steps_per_epoch, cfg.iters - int(self.state.step))
+            if k <= 0:
+                break
+            self.key, sub = jax.random.split(self.key)
+            done = 0
+            while done < k:
+                kc = min(SCAN_CAP, k - done)
+                sub = jax.random.fold_in(sub, done)
+                self.state, metrics = self._run_epoch(
+                    self.state, sub, kc, done + kc >= k)
+                done += kc
+            losses = [metrics]
             if losses:
                 loss = float(jax.device_get(losses[-1]["loss"]))
                 psnr = float(jax.device_get(losses[-1]["psnr"]))
@@ -191,8 +223,6 @@ class Trainer:
                          f"loss={loss:.5f} train_psnr={psnr:.2f} "
                          f"lr={self._lr():.5f}")
                 self.stats["loss"].append(loss)
-            # EMA per epoch (nerf/trainer.py:1522)
-            self.state = self.state.update_ema()
             if epoch % save_interval == 0 or epoch == max_epoch:
                 self.ckpt.save(int(self.state.step), self._state_tree())
             if val_scene is not None and (epoch % eval_interval == 0

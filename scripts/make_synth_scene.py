@@ -158,10 +158,16 @@ def main():
     write_masks(args.root, d, names, object_id=args.object_id)
     # 3-D point prompts on the default object's surface (sphere 0:
     # center (0,-0.1,0) r=0.5) — decode-stage input, schema of
-    # example_points.json / utils/points.py:24-38
+    # example_points.json / utils/points.py:24-38.  The reference's point
+    # files come from GUI clicks in the PROVIDER frame, so emit the
+    # prompts through the same nerf->ngp transform the pose loader
+    # applies (data/provider.py:83-91; llff default scale 0.33).
+    ngp_scale = 0.33
+    raw = np.array([[0.0, 0.4, 0.0], [0.35, -0.1, 0.35],
+                    [-0.35, -0.1, -0.35]], np.float32)
+    pts_ngp = raw[:, [1, 2, 0]] * ngp_scale
     with open(os.path.join(args.root, "example_points.json"), "w") as f:
-        json.dump({"points": [[0.0, 0.4, 0.0], [0.35, -0.1, 0.35],
-                              [-0.35, -0.1, -0.35]],
+        json.dump({"points": pts_ngp.tolist(),
                    "crucial_point_index": [0],
                    "valid_threshold": 1}, f)
     if args.format == "llff":

@@ -19,8 +19,8 @@ import pytest
 import sanerf_hq_tpu.ops.render_level_pallas as rlp
 
 N, T = 256, 8
-STATIC_F = (10, 2, 128.0, True)   # freq_degree, skip_layer, bound, opaque
-STATIC_P = (6, 128.0, True)
+STATIC_F = (10, 2, 128.0, True, -1.5)  # freq_deg, skip, bound, opaque, density_bias
+STATIC_P = (6, 128.0, True, -1.5)
 
 
 @pytest.fixture(autouse=True)
@@ -65,10 +65,10 @@ def _mlp(xyz, ws, degree, skip):
     return h
 
 
-def _composite(h, bins, opaque_last):
+def _composite(h, bins, opaque_last, db):
     t = (bins[:, 1:] + bins[:, :-1]) / 2
     delta = bins[:, 1:] - bins[:, :-1]
-    sigma = jnp.exp(jnp.clip(h[..., 0], -30, 15))
+    sigma = jnp.exp(jnp.clip(h[..., 0] + db, -30, 15))
     ds = delta * sigma
     if opaque_last:
         ds = ds.at[:, -1].set(jnp.inf)
@@ -78,22 +78,22 @@ def _composite(h, bins, opaque_last):
 
 
 def ref_final(ro, rd, bins, sh, ws, static):
-    degree, skip, bound, opaque = static
+    degree, skip, bound, opaque, db = static
     t_mid = (bins[:, 1:] + bins[:, :-1]) / 2
     xyz = _contract(ro[:, None] + rd[:, None] * t_mid[..., None], bound)
     h = _mlp(xyz, ws, degree, skip)
-    w_s, t = _composite(h, bins, opaque)
+    w_s, t = _composite(h, bins, opaque, db)
     color = jnp.concatenate([h[..., 1:], jnp.tile(sh[:, None], (1, T, 1))], -1)
     return (jnp.sum(w_s[..., None] * color, 1), jnp.sum(w_s * t, 1),
             jnp.sum(w_s, 1), w_s)
 
 
 def ref_prop(ro, rd, bins, ws, static):
-    degree, bound, opaque = static
+    degree, bound, opaque, db = static
     t_mid = (bins[:, 1:] + bins[:, :-1]) / 2
     xyz = _contract(ro[:, None] + rd[:, None] * t_mid[..., None], bound)
     h = _mlp(xyz, ws, degree, -1)
-    w_s, _ = _composite(h, bins, opaque)
+    w_s, _ = _composite(h, bins, opaque, db)
     return w_s
 
 

@@ -114,3 +114,30 @@ def test_mlp_field_overfit_smoke(scene):
     last = np.mean(psnrs[-10:])
     assert np.isfinite(last)
     assert last > first + 4.0, f"MLP field did not learn: {first:.2f} -> {last:.2f}"
+
+
+def test_freeze_mask_with_lr_scales():
+    """Stage-3 creates the optimizer with BOTH a freeze mask (stage-1
+    params frozen) and per-leaf lr scales — multi_transform feeds
+    MaskedNode placeholders through the scale transform (regression:
+    'Expected named tuple, got 0.05')."""
+    import jax
+    import jax.numpy as jnp
+
+    from sanerf_hq_tpu.train.state import (
+        create_train_state, freeze_mask_from_loaded, mlp_field_lr_scales)
+
+    params = {"params": {"trunk": {"w0": jnp.ones((4, 4))},
+                         "m_grid": {"table": jnp.ones((8, 2))}}}
+    loaded = {"params": {"trunk": {"w0": jnp.ones((4, 4))}}}
+    mask = freeze_mask_from_loaded(params, loaded)
+    scales = mlp_field_lr_scales(params)
+    state = create_train_state(params, 1e-2, 100, freeze_mask=mask,
+                               lr_scales=scales)
+    grads = jax.tree.map(jnp.ones_like, params)
+    new_state = state.apply_gradients(grads)
+    # frozen leaf unchanged, trainable leaf moved
+    assert float(jnp.abs(new_state.params["params"]["trunk"]["w0"]
+                         - params["params"]["trunk"]["w0"]).max()) == 0.0
+    assert float(jnp.abs(new_state.params["params"]["m_grid"]["table"]
+                         - params["params"]["m_grid"]["table"]).max()) > 0.0
