@@ -146,6 +146,16 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native additions
     p.add_argument("--field_type", type=str, default="hashgrid",
                    choices=["hashgrid", "hashgrid_packed", "mlp"])
+    p.add_argument("--lambda_distort_warmup", type=int, default=1000,
+                   help="ramp lambda_distort in over [w, 2w] steps; 0 = "
+                        "reference behavior (active from step 0)")
+    p.add_argument("--cp_rank", type=int, default=64,
+                   help="CP-factorized spatial feature rank for the mlp "
+                        "flagship field (0 = pure freq-MLP)")
+    p.add_argument("--cp_res", type=int, default=256)
+    p.add_argument("--density_bias", type=float, default=0.0,
+                   help="initial density shift: sigma = exp(raw + bias) "
+                        "(mlp field)")
     p.add_argument("--on_device_sam", action="store_true",
                    help="fuse render->SAM-encode into one jitted program "
                         "during distillation (no host round-trip)")
@@ -215,6 +225,9 @@ def main(argv=None):
         mask_mlp_type=cfg.mask_mlp_type,
         n_inst=cfg.n_inst,
         sam_use_view_direction=cfg.sam_use_view_direction,
+        cp_rank=cfg.cp_rank,
+        cp_res=cfg.cp_res,
+        density_bias=cfg.density_bias,
     )
 
     scene = load_scene(

@@ -80,6 +80,17 @@ class Config:
     lambda_wd: float = 0.0
     lambda_proposal: float = 1.0
     lambda_distort: float = 0.02
+    # Distortion-loss warmup (TPU-native addition, no reference counterpart):
+    # applied from the start, the s-space distortion loss is minimized by
+    # piling ALL weight onto one sample, and on globally-parameterized
+    # fields (freq-MLP flagship) Adam turns that into runaway exponential
+    # density growth (sigma 1 -> 4e5 in 50 steps, measured) that walls the
+    # near plane before geometry can form — train PSNR plateaus while
+    # held-out views render garbage.  Ramping lambda_distort in over
+    # [warmup, 2*warmup] steps lets MSE anchor real geometry first; the
+    # loss then does its legitimate late-stage floater cleanup.  0 disables
+    # the warmup (exact reference behavior, nerf/trainer.py:386-388).
+    lambda_distort_warmup: int = 1000
 
     # mask stage
     with_mask: bool = False
@@ -136,6 +147,13 @@ class Config:
     # 'mlp' = TPU-native flagship (MXU-bound freq-MLP field, see
     # models/mlp_field.py for the measured rationale)
     field_type: str = "hashgrid"
+    # flagship (mlp) field extras: CP-factorized spatial features give the
+    # freq-MLP hash-grid-class convergence (train PSNR 25 vs 16 at 1200
+    # steps on the rich scene, measured) while staying matmul/gather-lite;
+    # density_bias shifts the initial density exp(raw + bias)
+    cp_rank: int = 64
+    cp_res: int = 256
+    density_bias: float = 0.0
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel mesh over all devices
     mesh_axis_names: Tuple[str, ...] = ("data",)
     param_dtype: str = "float32"

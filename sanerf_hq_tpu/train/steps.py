@@ -107,7 +107,15 @@ def make_rgb_train_step(model, cfg: Config, donate: bool = True):
             loss = loss + cfg.lambda_proposal * out["proposal_loss"]
             metrics["proposal_loss"] = out["proposal_loss"]
         if cfg.lambda_distort > 0:
-            loss = loss + cfg.lambda_distort * out["distort_loss"]
+            lam = cfg.lambda_distort
+            if cfg.lambda_distort_warmup > 0:
+                # ramp in over [warmup, 2*warmup] steps (see Config notes:
+                # from step 0 this loss explodes global-MLP density into a
+                # near-plane wall before geometry forms)
+                w = cfg.lambda_distort_warmup
+                lam = lam * jnp.clip(
+                    (batch["step"] - w) / jnp.float32(w), 0.0, 1.0)
+            loss = loss + lam * out["distort_loss"]
             metrics["distort_loss"] = out["distort_loss"]
         if cfg.lambda_entropy > 0:
             w = jnp.clip(out["weights_sum"], 1e-5, 1 - 1e-5)
