@@ -71,15 +71,27 @@ def test_full_pipeline(tmp_path):
         assert os.path.exists(os.path.join(ws, "sam_cache", f"v{i}.npy"))
 
     # ---- decode: point prompts -> per-view masks ----------------------------
+    # Surface point facing camera 0 (sphere radius 0.5, cameras orbit at
+    # r=2).  The depth gate runs at a REAL tolerance (0.15, vs the 1.0
+    # z-gap of the antipodal point): view v0 must pass the occlusion gate,
+    # the opposite view v2 — where the same point is behind the sphere —
+    # must be rejected.  (Regression: a depth_tol=10.0 loophole used to
+    # disable the gate entirely.)
+    eye0 = scene.poses[0][:3, 3]
+    front = (0.5 * eye0 / np.linalg.norm(eye0)).astype(np.float32)
     prompts = PointPrompts(
-        points=np.array([[0.0, 0.0, 0.0]], np.float32),  # sphere center ray
+        points=front[None],
         labels=np.array([1], np.int32),
-        crucial_label=np.zeros(1, np.int32), crucial_count=0,
+        crucial_label=np.ones(1, np.int32), crucial_count=1,
         valid_threshold=1,
     )
     mask_dir = stages.decode(t2, scene, sam, prompts,
-                             feature_container="cache", depth_tol=10.0)
-    assert os.path.exists(os.path.join(mask_dir, "valid_dict.json"))
+                             feature_container="cache", depth_tol=0.15)
+    import json
+    with open(os.path.join(mask_dir, "valid_dict.json")) as f:
+        valid = json.load(f)
+    assert valid["v0"] == 1, f"front view must pass the depth gate: {valid}"
+    assert valid["v2"] == 0, f"occluded view must be rejected: {valid}"
 
     # ---- stage 3: object field over GT masks --------------------------------
     cfg3 = cfg1.replace(with_mask=True, n_inst=2, num_rays=256, iters=60,
