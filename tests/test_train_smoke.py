@@ -116,6 +116,64 @@ def test_mlp_field_overfit_smoke(scene):
     assert last > first + 4.0, f"MLP field did not learn: {first:.2f} -> {last:.2f}"
 
 
+def test_heldout_psnr_tracks_train(scene):
+    """Regression for the round-2 quality collapse (train PSNR 38 vs
+    held-out 9.5 on the rich scene): the s-space distortion loss applied
+    from step 0 drives runaway density growth that walls the near plane
+    with per-camera billboards — train views keep improving while every
+    held-out view renders garbage.  Train on 7 of 8 views with the
+    reference loss weights and assert the held-out view's PSNR tracks
+    train PSNR.  Red on lambda_distort_warmup=0 (reference behavior),
+    green with the ramp."""
+    from sanerf_hq_tpu.models import make_field
+    from sanerf_hq_tpu.train.state import mlp_field_lr_scales
+
+    cfg = Config(num_steps=(32, 16, 8), num_rays=512, iters=400,
+                 lambda_distort=0.02, lambda_distort_warmup=100,
+                 bound=4.0, contract=True, min_near=0.05)
+    model = make_field("mlp", grid_bound=cfg.grid_bound, hidden=128,
+                       num_layers=3, freq_degree=6, prop_hidden=32,
+                       prop_layers=2, prop_freq_degree=4,
+                       cp_rank=16, cp_res=64)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((4, 3)), jnp.ones((4, 3)))
+    state = create_train_state(params, base_lr=1e-2, total_iters=cfg.iters,
+                               lr_scales=mlp_field_lr_scales(params))
+    train_step = make_rgb_train_step(model, cfg, donate=False)
+
+    images = jnp.asarray(scene["images"][:7])   # hold out view 7
+    poses = jnp.asarray(scene["poses"][:7])
+    intr = jnp.asarray(scene["intrinsics"])
+
+    @jax.jit
+    def full_step(state, key):
+        kb, kr = jax.random.split(key)
+        batch = sample_rgb_batch(kb, images, poses, intr, cfg.num_rays)
+        batch["step"] = state.step
+        return train_step(state, batch, kr)
+
+    psnrs = []
+    for i in range(cfg.iters):
+        key, sub = jax.random.split(key)
+        state, metrics = full_step(state, sub)
+        psnrs.append(float(metrics["psnr"]))
+    train_psnr = float(np.mean(psnrs[-20:]))
+
+    eval_render = make_eval_render(model, cfg)
+    H, W = scene["H"], scene["W"]
+    ro, rd = full_frame_rays(jnp.asarray(scene["poses"][7]), intr, H, W)
+    pred = np.asarray(eval_render(state.params, ro, rd)["image"])
+    gt = np.asarray(scene["images"][7]).reshape(-1, 3)
+    val_psnr = -10.0 * np.log10(np.mean((pred - gt) ** 2))
+
+    print(f"train {train_psnr:.2f} val {val_psnr:.2f}")
+    assert train_psnr > 15.0, f"train did not converge: {train_psnr:.2f}"
+    # collapse mode measures ~9-12 held-out at 25+ train; a healthy fit
+    # keeps the gap small on this trivially-overlapping synthetic scene
+    assert val_psnr > train_psnr - 6.0, (
+        f"held-out collapse: train {train_psnr:.2f} vs val {val_psnr:.2f}")
+
+
 def test_freeze_mask_with_lr_scales():
     """Stage-3 creates the optimizer with BOTH a freeze mask (stage-1
     params frozen) and per-leaf lr scales — multi_transform feeds
