@@ -8,11 +8,16 @@ fori_loop with a data dependency, result pulled to host — this amortizes
 the per-dispatch RPC latency of the TPU tunnel and defeats async-dispatch
 mismeasurement (block_until_ready does not block on this platform).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
-vs_baseline is vs the 2 Mrays/sec/chip north-star target.
+Prints ONE JSON line.  The headline fields are
+{"metric", "value", "unit", "vs_baseline"} (render throughput vs the
+2 Mrays/sec/chip north star); the same line also carries the training
+rate ("train_steps_per_sec", "train_rays", "train_mrays_per_sec") and the
+fused-megakernel gradient-parity verdict ("grad_parity": "pass"/"fail",
+max rel grad diff Pallas-vs-XLA autodiff — Mosaic divergence from the
+interpret-mode CI oracle is caught here, per round).
 
 Env knobs: BENCH_FIELD=hashgrid|hashgrid_packed|mlp (default mlp),
-BENCH_RAYS, BENCH_ITERS, BENCH_MODE=render|train.
+BENCH_RAYS, BENCH_ITERS, BENCH_MODE=all|render|train|parity.
 """
 import json
 import os
@@ -33,7 +38,7 @@ def train_bench():
     from sanerf_hq_tpu.train.steps import make_rgb_train_step
 
     field_type = os.environ.get("BENCH_FIELD", "mlp")
-    n_rays = int(os.environ.get("BENCH_RAYS", 4096))
+    n_rays = int(os.environ.get("BENCH_RAYS_TRAIN", 4096))
     iters = int(os.environ.get("BENCH_ITERS", 30))
     cfg = Config(num_steps=(128, 64, 32), num_rays=n_rays, iters=5000,
                  bound=128.0, contract=True, min_near=0.2,
@@ -80,24 +85,81 @@ def train_bench():
     pull(st)
     t2 = time.perf_counter() - t0
     per = max((t2 - t1) / iters, 1e-9)
-    print(json.dumps({
-        "metric": f"train_step_{field_type}",
-        "value": round(1.0 / per, 2),
-        "unit": "steps/sec/chip",
-        "vs_baseline": round(n_rays / per / 2e6, 4),
-    }))
+    return {
+        "train_steps_per_sec": round(1.0 / per, 2),
+        "train_rays": n_rays,
+        "train_mrays_per_sec": round(n_rays / per / 1e6, 4),
+    }
 
 
-def main():
+def parity_check():
+    """Fused-megakernel grad parity vs XLA autodiff on the full training
+    loss surface (see scripts/check_fused_train_grads.py for the verbose
+    per-leaf report).  Runs on the real device so Mosaic lowering bugs —
+    invisible to the interpret-mode CI tests — surface in the recorded
+    bench artifact every round."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from sanerf_hq_tpu.render import RenderSettings, render_rays
+    from sanerf_hq_tpu.models import make_field
+    import sanerf_hq_tpu.ops.fused_mlp as fm
+
+    n = 512
+    model = make_field("mlp", grid_bound=128.0)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                        jnp.ones((4, 3)))
+    rng = np.random.default_rng(0)
+    o = rng.normal(size=(n, 3))
+    o = 3 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+    ro = jnp.asarray(o, jnp.float32)
+    rd = jnp.asarray(-o + 0.1 * rng.normal(size=(n, 3)), jnp.float32)
+    gt = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+    s = RenderSettings(num_steps=(32, 16, 8), use_contract=True,
+                       min_near=0.2, background="last_sample", bound=128.0,
+                       perturb=True, training=True, compute_losses=True)
+
+    def loss(p, upd):
+        out = nn.apply(lambda f, *a, **k: render_rays(f, *a, **k), model)(
+            p, ro, rd, s, key=jax.random.PRNGKey(3), update_proposal=upd)
+        return (jnp.mean((out["image"] - gt) ** 2) + out["proposal_loss"]
+                + 0.02 * out["distort_loss"]
+                + 1e-3 * jnp.mean(out["weights_sum"])
+                + 1e-3 * jnp.mean(out["depth"]))
+
+    worst = 0.0
+    prev = fm.PALLAS_ENABLED
+    try:
+        for upd in (True, False):
+            fm.PALLAS_ENABLED = True
+            g_f = jax.device_get(
+                jax.jit(jax.grad(lambda p: loss(p, upd)))(params))
+            fm.PALLAS_ENABLED = False
+            g_r = jax.device_get(
+                jax.jit(jax.grad(lambda p: loss(p, upd)))(params))
+            for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_r)):
+                a = np.asarray(a, np.float64)
+                b = np.asarray(b, np.float64)
+                if np.abs(b).max() <= 1e-9:
+                    continue
+                worst = max(worst,
+                            np.abs(a - b).max() / (np.abs(b).max() + 1e-12))
+    finally:
+        fm.PALLAS_ENABLED = prev
+    # 5% relative max-diff budget: bf16 compute inside the kernels vs
+    # fp32 XLA
+    return {"grad_parity": "pass" if worst <= 0.05 else "fail",
+            "grad_parity_rel_maxdiff": round(float(worst), 5)}
+
+
+def render_bench():
     import jax
     import jax.numpy as jnp
     import flax.linen as nn
 
     from sanerf_hq_tpu.models import make_field
     from sanerf_hq_tpu.render import RenderSettings, render_rays
-
-    if os.environ.get("BENCH_MODE", "render") == "train":
-        return train_bench()
 
     field_type = os.environ.get("BENCH_FIELD", "mlp")
     n_rays = int(os.environ.get("BENCH_RAYS", 65536))
@@ -142,12 +204,37 @@ def main():
     per_render = max((t2 - t1) / iters, 1e-9)
 
     mrays = n_rays / per_render / 1e6
-    print(json.dumps({
+    return {
         "metric": f"render_throughput_{field_type}",
         "value": round(mrays, 4),
         "unit": "Mrays/sec/chip",
         "vs_baseline": round(mrays / 2.0, 4),
-    }))
+    }
+
+
+def main():
+    mode = os.environ.get("BENCH_MODE", "all")
+    field_type = os.environ.get("BENCH_FIELD", "mlp")
+    record = {}
+    if mode in ("all", "render"):
+        record.update(render_bench())
+    if mode in ("all", "train"):
+        tr = train_bench()
+        if mode == "train":  # standalone: promote to headline fields
+            record.update({
+                "metric": f"train_step_{field_type}",
+                "value": tr["train_steps_per_sec"],
+                "unit": "steps/sec/chip",
+                "vs_baseline": tr["train_mrays_per_sec"] / 2.0,
+            })
+        record.update(tr)
+    if mode in ("all", "parity") and field_type == "mlp":
+        try:
+            record.update(parity_check())
+        except Exception as e:  # parity is an attachment, not the headline
+            record.update({"grad_parity": "error",
+                           "grad_parity_error": f"{type(e).__name__}: {e}"})
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
