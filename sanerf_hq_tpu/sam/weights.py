@@ -90,7 +90,14 @@ def convert_torch_checkpoint(path: str, encoder, prompt_encoder, decoder,
     if "model" in sd_t and isinstance(sd_t["model"], dict):
         sd_t = sd_t["model"]
     sd = {k: v.numpy().astype(np.float32) for k, v in sd_t.items()}
+    return convert_state_dict(sd, encoder, hq=hq)
 
+
+def convert_state_dict(sd: Dict[str, np.ndarray], encoder,
+                       hq: bool = False) -> Dict:
+    """Pure numpy-state-dict -> flax-params conversion (torch-free entry;
+    key coverage vs the released sam_vit_* / sam_hq_vit_* checkpoints is
+    asserted against the manifests in tests/fixtures/sam_keys_*.txt)."""
     # ---- encoder --------------------------------------------------------
     enc = {
         "patch_embed_proj": _conv(sd, "image_encoder.patch_embed.proj"),
