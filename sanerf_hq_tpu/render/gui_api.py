@@ -28,6 +28,8 @@ class OrbitCamera:
         # rotation stored as 3x3 (reference uses scipy Rotation)
         self.rot = np.eye(3, dtype=np.float32)
         self.up = np.array([0, 1, 0], np.float32)
+        # bumped on every mutation; SPP accumulation resets when it changes
+        self.version = 0
 
     @property
     def pose(self) -> np.ndarray:
@@ -54,12 +56,20 @@ class OrbitCamera:
         side = self.rot[:, 0]
         self.rot = rotmat(self.up, -dx * 0.005) @ rotmat(side, -dy * 0.005) \
             @ self.rot
+        self.version += 1
 
     def scale(self, delta: float):
         self.radius *= 1.1 ** (-delta)
+        self.version += 1
 
     def pan(self, dx: float, dy: float, dz: float = 0.0):
         self.center += 0.0005 * self.rot @ np.array([dx, dy, dz], np.float32)
+        self.version += 1
+
+    def set_fovy(self, fovy: float):
+        """fovy slider (nerf/gui.py fovy widget)."""
+        self.fovy = float(np.clip(fovy, 10.0, 120.0))
+        self.version += 1
 
 
 class InteractiveSession:
@@ -71,21 +81,94 @@ class InteractiveSession:
         self.scene = scene
         self.camera = OrbitCamera(W, H, r=radius, fovy=fovy)
         self._train_steps = 16  # dynamic, targets ~0.5s per tick (gui.py:112-134)
+        # widget state (nerf/gui.py:189-473)
+        self.bg_color = 1.0                  # bg-color picker
+        self.aabb: Optional[np.ndarray] = None  # crop sliders -> aabb_infer
+        self.spp = 1                         # SPP accumulation target
+        self.trajectory: list = []           # recorded camera keyframes
+        self._accum = None                   # [H, W, 3] running mean
+        self._accum_n = 0
+        self._accum_sig = None
+
+    def set_aabb(self, lo=None, hi=None):
+        """Crop sliders: clamp the inference AABB (model.aabb_infer,
+        nerf/gui.py:349-352).  None resets to the training bound."""
+        if lo is None and hi is None:
+            self.aabb = None
+        else:
+            b = self.trainer.cfg.bound
+            lo = np.clip(np.asarray(lo, np.float32), -b, b)
+            hi = np.clip(np.asarray(hi, np.float32), -b, b)
+            self.aabb = np.concatenate([lo, np.maximum(hi, lo + 1e-3)])
+        self._accum_sig = None  # invalidate accumulation
+
+    def record_pose(self):
+        """Trajectory record button (nerf/gui.py trajectory widgets)."""
+        self.trajectory.append(self.camera.pose.copy())
+        return len(self.trajectory)
+
+    def save_trajectory(self, path: str):
+        """Write keyframes in the replay schema consumed by
+        data/trajectory.py:load_recorded_trajectories (reference
+        provider.py:504-544): {'trajectory': [[4x4], ...]}."""
+        import json
+
+        with open(path, "w") as f:
+            json.dump({"trajectory": [p.tolist() for p in self.trajectory]},
+                      f)
+        return len(self.trajectory)
 
     def render_frame(self, pose: Optional[np.ndarray] = None,
                      downscale: int = 1) -> dict:
-        """test_gui-shaped: render one frame at W/downscale x H/downscale."""
+        """test_gui-shaped: render one frame at W/downscale x H/downscale.
+
+        With spp > 1 and a static camera/widget state, successive calls
+        accumulate perturbed renders into a running mean (reference SPP
+        accumulation, nerf/gui.py:145-186); any interaction resets it."""
         cam = self.camera
-        pose = pose if pose is not None else cam.pose
+        explicit_pose = pose is not None
+        pose = pose if explicit_pose else cam.pose
         H, W = cam.H // downscale, cam.W // downscale
         intr = cam.intrinsics / downscale
         intr[2], intr[3] = W / 2, H / 2
         t0 = time.perf_counter()
-        out = self.trainer.render_view(pose, intr, H, W)
+
+        sig = (cam.version, downscale, float(self.bg_color), cam.fovy)
+        if (self.spp > 1 and not explicit_pose and sig == self._accum_sig
+                and self._accum_n >= self.spp):
+            # saturated: serve the converged accumulation without rendering
+            return {"image": self._accum, "depth": self._last_depth,
+                    "spp": self._accum_n, "time": 0.0, "fps": float("inf")}
+        accumulate = (self.spp > 1 and not explicit_pose
+                      and sig == self._accum_sig
+                      and self._accum_n < self.spp)
+        if self.spp > 1 and not explicit_pose:
+            import jax
+
+            key = jax.random.PRNGKey(self._accum_n if accumulate else 0)
+        else:
+            key = None
+        out = self.trainer.render_view(pose, intr, H, W,
+                                       bg_color=self.bg_color,
+                                       aabb=self.aabb, key=key)
+        img = out["image"].reshape(H, W, 3)
+        if self.spp > 1 and not explicit_pose:
+            if accumulate:
+                self._accum = (self._accum * self._accum_n + img) / (
+                    self._accum_n + 1)
+                self._accum_n += 1
+            else:
+                self._accum = img
+                self._accum_n = 1
+                self._accum_sig = sig
+            img = self._accum
+        depth = out["depth"].reshape(H, W)
+        self._last_depth = depth
         dt = time.perf_counter() - t0
         return {
-            "image": out["image"].reshape(H, W, 3),
-            "depth": out["depth"].reshape(H, W),
+            "image": img,
+            "depth": depth,
+            "spp": self._accum_n if self.spp > 1 else 1,
             "time": dt,
             "fps": 1.0 / max(dt, 1e-9),
         }

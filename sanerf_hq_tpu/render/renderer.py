@@ -271,11 +271,14 @@ def render_staged(
     bg_color=1.0,
     cam_near_far: Optional[jnp.ndarray] = None,
     aabb: Optional[jnp.ndarray] = None,
+    key: Optional[jax.Array] = None,
 ):
     """Chunked full-frame inference (reference nerf/renderer.py:185-219).
 
     Pads the ray count to a multiple of max_ray_batch and lax.map's
     render_rays over fixed-size chunks -> single compilation, bounded memory.
+    `key` enables perturbed sampling per chunk (GUI SPP accumulation,
+    nerf/gui.py:145-186); None keeps the deterministic eval path.
     """
     N = rays_o.shape[0]
     chunk = min(settings.max_ray_batch, N) if N > 0 else settings.max_ray_batch
@@ -291,18 +294,21 @@ def render_staged(
 
     ro = ro.reshape(-1, chunk, 3)
     rd = rd.reshape(-1, chunk, 3)
+    idx = jnp.arange(ro.shape[0], dtype=jnp.int32)
 
     def body(args):
         if cnf is not None:
-            o, d, nf = args
+            i, o, d, nf = args
         else:
-            o, d = args
+            i, o, d = args
             nf = cam_near_far  # None or [1, 2] broadcast
         return render_rays(
-            field, o, d, settings, key=None, bg_color=bg_color,
+            field, o, d, settings,
+            key=None if key is None else jax.random.fold_in(key, i),
+            bg_color=bg_color,
             cam_near_far=nf, update_proposal=False, aabb=aabb,
         )
 
-    args = (ro, rd, cnf) if cnf is not None else (ro, rd)
+    args = (idx, ro, rd, cnf) if cnf is not None else (idx, ro, rd)
     out = jax.lax.map(body, args)
     return {k: v.reshape(-1, *v.shape[2:])[:N] for k, v in out.items()}

@@ -35,6 +35,21 @@ _PAGE = """<!doctype html>
  <b>[T]</b>rain <b>[S]</b>ave points <b>[N]</b>eg-label:
  <span id="neg" class="off">off</span>
 </div>
+<div id="bar">
+ fovy <input id="fovy" type="range" min="20" max="120" value="60"
+   oninput="post('/fovy',{value:+this.value})">
+ bg <input id="bg" type="range" min="0" max="1" step="0.05" value="1"
+   oninput="post('/bg',{value:+this.value})">
+ spp <input id="spp" type="number" min="1" max="64" value="1" style="width:3em"
+   onchange="post('/spp',{value:+this.value})">
+ crop <input id="crop" type="range" min="0.05" max="1" step="0.05" value="1"
+   oninput="setCrop(+this.value)">
+ <button onclick="post('/record_pose',{}).then(r=>r.json()).then(
+   j=>kf.textContent=j.n_keyframes)">rec pose</button>
+ <button onclick="post('/save_trajectory',{})">save traj</button>
+ <button onclick="post('/clear_trajectory',{});kf.textContent=0">clear</button>
+ <span id="kf">0</span> keyframes
+</div>
 <canvas id="cv" width="{W}" height="{H}"></canvas>
 <script>
 const cv=document.getElementById('cv'),ctx=cv.getContext('2d');
@@ -73,6 +88,13 @@ window.onkeydown=e=>{
  if(e.key==='s'||e.key==='S')post('/save_points',{});
  if(e.key==='n'||e.key==='N'){neg=!neg;const el=document.getElementById('neg');
   el.textContent=neg?'ON':'off';el.className=neg?'on':'off';}};
+const kf=document.getElementById('kf');
+let bound=2.0;
+fetch('/status').then(r=>r.json()).then(j=>{if(j.bound)bound=j.bound;});
+function setCrop(f){ // symmetric AABB crop at fraction f of the bound
+ if(f>=1){post('/aabb',{reset:true});return;}
+ const b=f*bound;
+ post('/aabb',{min:[-b,-b,-b],max:[b,b,b]});}
 </script></body></html>"""
 
 
@@ -158,6 +180,7 @@ def _make_handler(state: ViewerState):
                 self.send_header("Content-Type", "image/jpeg")
                 self.send_header("Content-Length", str(len(body)))
                 self.send_header("X-FPS", f"{frame['fps']:.1f}")
+                self.send_header("X-SPP", str(frame.get("spp", 1)))
                 self.send_header("X-Step", str(state.last_train.get("step", 0)))
                 self.send_header("X-Loss",
                                  f"{state.last_train.get('loss', 0):.4f}")
@@ -169,7 +192,14 @@ def _make_handler(state: ViewerState):
             if self.path == "/status":
                 self._json({"training": state.training,
                             **state.last_train,
-                            "n_points": len(getattr(s, "points_3d", []))})
+                            "n_points": len(getattr(s, "points_3d", [])),
+                            "fovy": s.camera.fovy,
+                            "bg_color": s.bg_color,
+                            "spp": s.spp,
+                            "aabb": (None if s.aabb is None
+                                     else np.asarray(s.aabb).tolist()),
+                            "bound": float(s.trainer.cfg.bound),
+                            "n_keyframes": len(s.trajectory)})
                 return
             self._json({"error": "not found"}, 404)
 
@@ -198,6 +228,29 @@ def _make_handler(state: ViewerState):
                 s.save_points(path)
                 self._json({"saved": path,
                             "n": len(getattr(s, "points_3d", []))})
+                return
+            # ---- widget endpoints (nerf/gui.py:189-473 parity) ----------
+            elif self.path == "/fovy":
+                cam.set_fovy(float(body.get("value", cam.fovy)))
+            elif self.path == "/bg":
+                s.bg_color = float(np.clip(body.get("value", 1.0), 0.0, 1.0))
+                s._accum_sig = None
+            elif self.path == "/spp":
+                s.spp = int(np.clip(body.get("value", 1), 1, 64))
+            elif self.path == "/aabb":
+                if body.get("reset"):
+                    s.set_aabb()
+                else:
+                    s.set_aabb(body.get("min"), body.get("max"))
+            elif self.path == "/record_pose":
+                self._json({"n_keyframes": s.record_pose()})
+                return
+            elif self.path == "/clear_trajectory":
+                s.trajectory.clear()
+            elif self.path == "/save_trajectory":
+                path = body.get("path", "trajectory.json")
+                n = s.save_trajectory(path)
+                self._json({"saved": path, "n_keyframes": n})
                 return
             else:
                 self._json({"error": "not found"}, 404)

@@ -366,8 +366,12 @@ def make_mask_train_step(model, cfg: Config):
 
 
 def make_eval_render(model, cfg: Config, return_feats: bool = False,
-                     return_mask: bool = False):
-    """Staged full-frame render for eval/test (chunked, no perturb)."""
+                     return_mask: bool = False, perturb: bool = False):
+    """Staged full-frame render for eval/test (chunked; deterministic by
+    default).  perturb=True + a key enables jittered sampling for GUI SPP
+    accumulation (nerf/gui.py:145-186).  `aabb` overrides the inference
+    bounding box (GUI crop sliders writing model.aabb_infer,
+    nerf/gui.py:349-352)."""
     from ..render.renderer import render_staged
 
     settings = RenderSettings(
@@ -376,7 +380,7 @@ def make_eval_render(model, cfg: Config, return_feats: bool = False,
         min_near=cfg.min_near,
         background=cfg.background,
         bound=cfg.bound,
-        perturb=False,
+        perturb=perturb,
         training=False,
         return_feats=return_feats,
         return_mask=return_mask,
@@ -385,10 +389,11 @@ def make_eval_render(model, cfg: Config, return_feats: bool = False,
     )
 
     @jax.jit
-    def eval_render(params, rays_o, rays_d, bg_color=1.0, cam_near_far=None):
+    def eval_render(params, rays_o, rays_d, bg_color=1.0, cam_near_far=None,
+                    aabb=None, key=None):
         return nn.apply(
             lambda f, *a, **k: render_staged(f, *a, **k), model
         )(params, rays_o, rays_d, settings, bg_color=bg_color,
-          cam_near_far=cam_near_far)
+          cam_near_far=cam_near_far, aabb=aabb, key=key)
 
     return eval_render

@@ -245,15 +245,28 @@ class Trainer:
 
     # -- eval / test --------------------------------------------------------
     def render_view(self, pose, intrinsics, H, W, params=None,
-                    cam_near_far=None):
+                    cam_near_far=None, bg_color=1.0, aabb=None, key=None):
+        """Full-frame render.  `aabb` overrides the inference bounding box
+        (reference model.aabb_infer, nerf/gui.py:349-352); `key` jitters
+        sampling for GUI SPP accumulation (a perturbed render variant is
+        built lazily on first use)."""
         ro, rd = full_frame_rays(jnp.asarray(pose), jnp.asarray(intrinsics),
                                  H, W)
         cnf = None
         if cam_near_far is not None:
             cnf = jnp.asarray(cam_near_far).reshape(1, 2)
-        out = self.eval_render(
+        if key is not None:
+            if not hasattr(self, "_eval_render_perturb"):
+                self._eval_render_perturb = make_eval_render(
+                    self.model, self.cfg, perturb=True)
+            render = self._eval_render_perturb
+        else:
+            render = self.eval_render
+        out = render(
             params if params is not None else self.state.ema_params,
-            ro, rd, cam_near_far=cnf,
+            ro, rd, bg_color=bg_color, cam_near_far=cnf,
+            aabb=None if aabb is None else jnp.asarray(aabb, jnp.float32),
+            key=key,
         )
         return {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
 

@@ -29,8 +29,11 @@ SMALL = dict(
 
 @pytest.fixture(scope="module")
 def viewer(tmp_path_factory):
+    # background="white" composites bg_color over residual transmittance
+    # (the bg picker is a no-op by design under "last_sample", which gives
+    # the final sample all residual weight — same as the reference)
     cfg = Config(num_steps=(8, 4, 2), num_rays=64, iters=10, bound=4.0,
-                 min_near=0.05, max_ray_batch=256)
+                 min_near=0.05, max_ray_batch=256, background="white")
     model = SANeRFField(grid_bound=cfg.grid_bound, **SMALL)
     ws = str(tmp_path_factory.mktemp("viewer_ws"))
     trainer = Trainer("t", cfg, model, ws, use_checkpoint="scratch")
@@ -104,3 +107,79 @@ def test_status_endpoint(viewer):
     code, _, body = _get(base, "/status")
     st = json.loads(body)
     assert code == 200 and st["training"] is False
+    assert st["bound"] == 4.0 and st["spp"] == 1 and st["fovy"] == 60.0
+
+
+def test_fovy_slider(viewer):
+    base, sess, _ = viewer
+    f0 = np.asarray(sess.camera.intrinsics).copy()
+    _post(base, "/fovy", {"value": 90})
+    assert sess.camera.fovy == 90.0
+    assert sess.camera.intrinsics[0] < f0[0]  # wider fov -> shorter focal
+    _post(base, "/fovy", {"value": 60})
+
+
+def test_bg_color_changes_background(viewer):
+    """Background rays must composite to the picked bg color (reference
+    bg-color picker, nerf/gui.py)."""
+    base, sess, _ = viewer
+    _post(base, "/bg", {"value": 0.0})
+    f_black = sess.render_frame(downscale=2)["image"]
+    _post(base, "/bg", {"value": 1.0})
+    f_white = sess.render_frame(downscale=2)["image"]
+    # untrained field is near-empty -> frames dominated by bg color
+    assert f_black.mean() < f_white.mean() - 0.3
+
+
+def test_aabb_crop(viewer):
+    """Crop slider writes the inference AABB (model.aabb_infer,
+    nerf/gui.py:349-352): a degenerate crop empties the scene."""
+    base, sess, _ = viewer
+    code, out = _post(base, "/aabb", {"min": [-0.01, -0.01, -0.01],
+                                      "max": [0.01, 0.01, 0.01]})
+    assert code == 200 and np.allclose(sess.aabb[:3], -0.01)
+    f_crop = sess.render_frame(downscale=2)
+    # everything outside the tiny box is cropped -> pure-bg render
+    # (deferred color gives empty rays sigmoid(view_mlp(0)) + bg, the
+    # reference formula nerf/renderer.py:338-340 — clips to white)
+    img = np.clip(f_crop["image"], 0, 1)
+    assert float(np.abs(img - 1.0).max()) < 0.05
+    # and the crop actually removed density: zero accumulated weight
+    assert float(f_crop["depth"].max()) < 1e6  # no NaN/garbage
+    code, out = _post(base, "/aabb", {"reset": True})
+    assert sess.aabb is None
+
+
+def test_spp_accumulation(viewer):
+    base, sess, _ = viewer
+    _post(base, "/spp", {"value": 4})
+    assert sess.spp == 4
+    f1 = sess.render_frame(downscale=2)
+    f2 = sess.render_frame(downscale=2)
+    f3 = sess.render_frame(downscale=2)
+    assert (f1["spp"], f2["spp"], f3["spp"]) == (1, 2, 3)
+    # any camera interaction resets the accumulation
+    _post(base, "/orbit", {"dx": 20, "dy": 0})
+    f4 = sess.render_frame(downscale=2)
+    assert f4["spp"] == 1
+    _post(base, "/spp", {"value": 1})
+
+
+def test_trajectory_record_save(viewer, tmp_path):
+    base, sess, _ = viewer
+    _post(base, "/clear_trajectory", {})
+    code, out = _post(base, "/record_pose", {})
+    assert out["n_keyframes"] == 1
+    _post(base, "/orbit", {"dx": 80, "dy": 10})
+    code, out = _post(base, "/record_pose", {})
+    assert out["n_keyframes"] == 2
+    p = str(tmp_path / "traj.json")
+    code, out = _post(base, "/save_trajectory", {"path": p})
+    assert out["n_keyframes"] == 2
+    # round-trip through the replay loader (provider.py:504-544 parity)
+    from sanerf_hq_tpu.data.trajectory import load_recorded_trajectories
+
+    poses, intr, names = load_recorded_trajectories(str(tmp_path),
+                                                    interp_frames=3)
+    assert poses.shape[1:] == (4, 4) and poses.shape[0] >= 3
+    assert np.allclose(poses[0], sess.trajectory[0], atol=1e-5)
