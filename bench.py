@@ -17,13 +17,23 @@ max rel grad diff Pallas-vs-XLA autodiff — Mosaic divergence from the
 interpret-mode CI oracle is caught here, per round).
 
 Env knobs: BENCH_FIELD=hashgrid|hashgrid_packed|mlp (default mlp),
-BENCH_RAYS, BENCH_ITERS, BENCH_MODE=all|render|train|parity.
+BENCH_RAYS, BENCH_ITERS, BENCH_MODE=all|render|train|parity,
+BENCH_CP (CP feature rank of the mlp field; default 64 = the CLI flagship
+default, 0 = the plain freq-MLP).
 """
 import json
 import os
 import time
 
 import numpy as np
+
+
+def _mlp_kwargs(field_type):
+    """Match the CLI flagship defaults (cli.py --cp_rank 64) so the bench
+    measures the shipping config, not a stripped one."""
+    if field_type != "mlp":
+        return {}
+    return {"cp_rank": int(os.environ.get("BENCH_CP", 64))}
 
 
 def train_bench():
@@ -43,7 +53,8 @@ def train_bench():
     cfg = Config(num_steps=(128, 64, 32), num_rays=n_rays, iters=5000,
                  bound=128.0, contract=True, min_near=0.2,
                  random_image_batch=True, lambda_distort=0.02)
-    model = make_field(field_type, grid_bound=cfg.grid_bound)
+    model = make_field(field_type, grid_bound=cfg.grid_bound,
+                       **_mlp_kwargs(field_type))
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
                         jnp.ones((4, 3)))
     scales = mlp_field_lr_scales(params) if field_type == "mlp" else None
@@ -107,7 +118,7 @@ def parity_check():
     import sanerf_hq_tpu.ops.fused_mlp as fm
 
     n = 512
-    model = make_field("mlp", grid_bound=128.0)
+    model = make_field("mlp", grid_bound=128.0, **_mlp_kwargs("mlp"))
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
                         jnp.ones((4, 3)))
     rng = np.random.default_rng(0)
@@ -165,7 +176,8 @@ def render_bench():
     n_rays = int(os.environ.get("BENCH_RAYS", 65536))
     iters = int(os.environ.get("BENCH_ITERS", 8 if field_type == "mlp" else 2))
 
-    model = make_field(field_type, grid_bound=2.0)
+    model = make_field(field_type, grid_bound=2.0,
+                       **_mlp_kwargs(field_type))
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((4, 3)), jnp.ones((4, 3))
     )

@@ -163,6 +163,11 @@ class MLPField(nn.Module):
                 )
                 self.mask_mlp = MLP(self.n_inst, 64, 3, use_bias=False)
 
+    # scatter-free stage-1 backbone (matmul-only backward): the trainer's
+    # device-side epoch scan may run uncapped (hash-grid scans >32 steps
+    # have crashed the TPU worker; this field never has)
+    field_kind = "mlp"
+
     def _norm(self, x):
         # contracted coords in [-grid_bound, grid_bound] -> [-1, 1]
         return x / self.grid_bound
@@ -178,17 +183,27 @@ class MLPField(nn.Module):
 
     def cp_features(self, xn):
         """xn: [..., 3] in [-1, 1].  Linear-interp CP line features,
-        product over axes -> [..., cp_rank].  XLA path uses row gathers;
-        the fused kernels do the same contraction as one-hot matmuls."""
+        product over axes -> [..., cp_rank].
+
+        Contraction is expressed as interp-one-hot matmuls on the MXU
+        ([N, S] two-nonzero rows @ [S, rank] basis): forward avoids the
+        ~177M row/s gather ceiling and, critically, backward turns the
+        basis gradient into W^T @ g instead of a ~23M update/s
+        scatter_add (docs/PERF.md primitive rates) — the take-based
+        version trained at 16 steps/s vs 285 for cp_rank=0."""
         S = self.cp_res
         p = jnp.clip((xn + 1.0) * 0.5, 0.0, 1.0) * (S - 1)
         i0 = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, S - 2)
         f = p - i0
+        iota = jnp.arange(S, dtype=jnp.int32)
         g = None
         for a in range(3):
-            B = self.cp_basis[a]
-            La = (jnp.take(B, i0[..., a], axis=0) * (1.0 - f[..., a, None])
-                  + jnp.take(B, i0[..., a] + 1, axis=0) * f[..., a, None])
+            ia = i0[..., a, None]
+            fa = f[..., a, None]
+            W = (jnp.where(iota == ia, 1.0 - fa, 0.0)
+                 + jnp.where(iota == ia + 1, fa, 0.0))
+            La = jnp.dot(W, self.cp_basis[a],
+                         preferred_element_type=jnp.float32)
             g = La if g is None else g * La
         return g
 
@@ -218,11 +233,10 @@ class MLPField(nn.Module):
         return self.view_mlp(f_image)
 
     # inference megakernel support (ops/render_level_pallas.py); the CP
-    # variant rides the XLA path until the kernels learn the one-hot
-    # contraction
+    # contraction runs in-kernel as iota-one-hot matmuls on the MXU
     @property
     def supports_fused_final(self):
-        return self.cp_rank == 0
+        return True
 
     def fused_prop_weights(self, rays_o, rays_d, real_bins, proposal: int,
                            opaque_last: bool = True):
@@ -247,10 +261,12 @@ class MLPField(nn.Module):
         sh = sh_encode(d, SH_DEGREE)  # [N, 16] per-ray
         ws = [self.trunk.variables["params"][f"w{l}"]
               for l in range(self.num_layers)]
+        cps = list(self.cp_basis) if self.cp_rank > 0 else []
         return fused_final_level(
             rays_o, rays_d, real_bins, sh, ws, self.freq_degree,
             skip_layer=self.num_layers // 2, grid_bound=self.grid_bound,
             opaque_last=opaque_last, density_bias=self.density_bias,
+            cps=cps, cp_res=self.cp_res,
         )
 
     # training megakernels (custom-VJP, ops/render_level_pallas.py)
@@ -276,10 +292,11 @@ class MLPField(nn.Module):
         sh = sh_encode(d, SH_DEGREE)
         ws = [self.trunk.variables["params"][f"w{l}"]
               for l in range(self.num_layers)]
+        cps = list(self.cp_basis) if self.cp_rank > 0 else []
         return final_level_train(
             (self.freq_degree, self.num_layers // 2, self.grid_bound,
-             opaque_last, self.density_bias),
-            rays_o, rays_d, real_bins, sh, *ws)
+             opaque_last, self.density_bias, self.cp_rank, self.cp_res),
+            rays_o, rays_d, real_bins, sh, *ws, *cps)
 
     def sam_features(self, x):
         return hash_encode(self.s_grid_table, x, self.s_spec, bound=self.grid_bound)

@@ -52,18 +52,22 @@ INTERPRET = False    # run kernels in interpret mode (CPU debug/tests)
 
 def fused_final_level(rays_o, rays_d, real_bins, sh, ws: Sequence,
                       freq_degree: int, skip_layer: int, grid_bound: float,
-                      opaque_last: bool = True, density_bias: float = 0.0):
+                      opaque_last: bool = True, density_bias: float = 0.0,
+                      cps: Sequence = (), cp_res: int = 0):
     """rays_o/rays_d: [N, 3]; real_bins: [N, T+1]; sh: [N, 16] per-ray
-    direction encoding; ws: trunk kernels [in, out].
+    direction encoding; ws: trunk kernels [in, out]; cps: optional three
+    CP basis matrices [cp_res, rank] appended to the trunk input.
     Returns (f_image [N, 31], depth [N], weights_sum [N]).
 
     Thin delegate: the grouped train-forward kernel IS the inference
     kernel (identical fusion; the extra [N, T] weights output it emits is
     a negligible HBM write), so inference and training share one
     implementation and one compiled kernel."""
+    cp_rank = cps[0].shape[1] if cps else 0
     f_img, depth, wsum, _ = final_level_train(
-        (freq_degree, skip_layer, grid_bound, opaque_last, density_bias),
-        rays_o, rays_d, real_bins, sh, *ws)
+        (freq_degree, skip_layer, grid_bound, opaque_last, density_bias,
+         cp_rank, cp_res),
+        rays_o, rays_d, real_bins, sh, *ws, *cps)
     return f_img, depth, wsum
 
 
@@ -216,6 +220,67 @@ def _geom_group(o, dd, bins_ref, s0, G, pf_val, grid_bound):
     return t_sl, d_sl, hf
 
 
+CP_CHUNK = 64  # basis rows per one-hot matmul pass (bounds VMEM transients)
+
+
+def _cp_extra(xn, cb_vals, cp_res: int, keep_las: bool = False):
+    """CP line features inside the kernel (TensoRF-style, the same
+    contraction models/mlp_field.py:cp_features does in XLA).
+
+    xn: [3, L] contracted/normalized coords in [-1, 1]; cb_vals: three
+    TRANSPOSED basis matrices [rank, S].  The linear-interp gather is an
+    iota-compare one-hot [S_chunk, L] contracted against the basis on the
+    MXU — no gathers, fp32 throughout (parity with the XLA oracle).
+    Returns extra [rank, L] (and the per-axis factors when keep_las, for
+    the backward product rule)."""
+    S = cp_res
+    cs = min(CP_CHUNK, S)
+    L = xn.shape[1]
+    p = jnp.clip((xn + 1.0) * 0.5, 0.0, 1.0) * (S - 1)
+    i0 = jnp.clip(jnp.floor(p), 0.0, S - 2.0)  # float compare vs iota
+    f = p - i0
+    g = None
+    las = []
+    for a in range(3):
+        ia = i0[a:a + 1, :]
+        fa = f[a:a + 1, :]
+        la = None
+        for c0 in range(0, S, cs):
+            iota = jax.lax.broadcasted_iota(
+                jnp.float32, (cs, L), 0) + float(c0)
+            W = (jnp.where(iota == ia, 1.0 - fa, 0.0)
+                 + jnp.where(iota == ia + 1.0, fa, 0.0))
+            part = jnp.dot(cb_vals[a][:, c0:c0 + cs], W,
+                           preferred_element_type=jnp.float32)
+            la = part if la is None else la + part
+        if keep_las:
+            las.append(la)
+        g = la if g is None else g * la
+    return (g, las) if keep_las else g
+
+
+def _cp_bwd_accum(xn, d_las, dcb_refs, cp_res: int):
+    """Accumulate basis grads: dB_a^T += d_La_a @ W_a^T, chunked over the
+    S axis like the forward."""
+    S = cp_res
+    cs = min(CP_CHUNK, S)
+    L = xn.shape[1]
+    p = jnp.clip((xn + 1.0) * 0.5, 0.0, 1.0) * (S - 1)
+    i0 = jnp.clip(jnp.floor(p), 0.0, S - 2.0)
+    f = p - i0
+    for a in range(3):
+        ia = i0[a:a + 1, :]
+        fa = f[a:a + 1, :]
+        for c0 in range(0, S, cs):
+            iota = jax.lax.broadcasted_iota(
+                jnp.float32, (cs, L), 0) + float(c0)
+            W = (jnp.where(iota == ia, 1.0 - fa, 0.0)
+                 + jnp.where(iota == ia + 1.0, fa, 0.0))
+            dcb_refs[a][:, c0:c0 + cs] += jax.lax.dot_general(
+                d_las[a], W, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+
 def _trunk_fwd(h_freq, w_vals, skip_layer, compute_dtype,
                keep_inputs: bool = False):
     """Forward through the bias-free trunk. w_vals: [out, in] values.
@@ -241,12 +306,18 @@ def _trunk_fwd(h_freq, w_vals, skip_layer, compute_dtype,
 
 
 def _trunk_bwd_accum(dh, w_vals, inputs, skip_layer, compute_dtype,
-                     dw_refs):
+                     dw_refs, extra_rows: int = 0):
     """Accumulate weight grads into dw_refs.  dh: [out_last, G*R] fp32 grad
     wrt the LAST layer's pre-activation output.  relu masks come from the
-    next layer's stashed input (relu(x) > 0 <=> x > 0)."""
+    next layer's stashed input (relu(x) > 0 <=> x > 0).
+
+    With extra_rows > 0, the trailing rows of the layer-0 input are CP
+    features; returns their gradient [extra_rows, G*R] (accumulated over
+    both the layer-0 entry and the skip-concat re-entry) — the only input
+    gradient that leaves the trunk (rays/bins/sh still get none)."""
     n = len(w_vals)
     d = dh.astype(compute_dtype)
+    d_extra = None
     for l in range(n - 1, -1, -1):
         # dW_l += d @ inputs[l]^T  (contract the lane/ray axis)
         dw_refs[l][:] += jax.lax.dot_general(
@@ -255,6 +326,13 @@ def _trunk_bwd_accum(dh, w_vals, inputs, skip_layer, compute_dtype,
             preferred_element_type=jnp.float32,
         )
         if l == 0:
+            if extra_rows:
+                de = jax.lax.dot_general(
+                    w_vals[0][:, -extra_rows:].astype(compute_dtype), d,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                d_extra = de if d_extra is None else d_extra + de
             break
         da = jax.lax.dot_general(
             w_vals[l].astype(compute_dtype), d,
@@ -262,9 +340,13 @@ def _trunk_bwd_accum(dh, w_vals, inputs, skip_layer, compute_dtype,
             preferred_element_type=jnp.float32,
         )  # [in_l, G*R]
         if l == skip_layer:
-            # layer l's input was concat(act, h_freq); only the act half
-            # propagates (no grads to rays/bins)
+            # layer l's input was concat(act, h_in); only the act half
+            # propagates (no grads to rays/bins) — except the CP rows of
+            # the re-entrant h_in, whose gradient we keep
             rows = inputs[l].shape[0] - inputs[0].shape[0]
+            if extra_rows:
+                de = da[rows + inputs[0].shape[0] - extra_rows:]
+                d_extra = de if d_extra is None else d_extra + de
             da = da[:rows]
             act = inputs[l][:rows]
         else:
@@ -272,19 +354,25 @@ def _trunk_bwd_accum(dh, w_vals, inputs, skip_layer, compute_dtype,
         # relu mask in fp32 (Mosaic cannot compare bf16 vectors)
         d = jnp.where(act.astype(jnp.float32) > 0.0, da, 0.0).astype(
             compute_dtype)
+    return d_extra
 
 
 def _make_final_train_kernel(T, G, n_layers, skip_layer, freq_degree,
-                             grid_bound, opaque_last, db, compute_dtype):
+                             grid_bound, opaque_last, db, compute_dtype,
+                             cp_rank=0, cp_res=0):
+    n_cp = 3 if cp_rank else 0
+
     def kernel(pf_ref, o_ref, d_ref, bins_ref, sh_ref, *refs):
         w_refs = refs[:n_layers]
-        fimg_ref, depth_ref, wsum_ref, w_out_ref = refs[n_layers:]
+        cb_refs = refs[n_layers:n_layers + n_cp]
+        fimg_ref, depth_ref, wsum_ref, w_out_ref = refs[n_layers + n_cp:]
         o = o_ref[:].astype(jnp.float32)
         dd = d_ref[:].astype(jnp.float32)
         sh = sh_ref[:].astype(jnp.float32)
         R = o.shape[1]
         pf_val = pf_ref[:]
         w_vals = [w[:] for w in w_refs]
+        cb_vals = [c[:] for c in cb_refs]
 
         f_feat = jnp.zeros((15, R), jnp.float32)
         depth = jnp.zeros((1, R), jnp.float32)
@@ -293,6 +381,9 @@ def _make_final_train_kernel(T, G, n_layers, skip_layer, freq_degree,
         for gi in range(T // G):
             t_sl, d_sl, hf = _geom_group(o, dd, bins_ref, gi * G, G, pf_val,
                                          grid_bound)
+            if n_cp:
+                extra = _cp_extra(hf[:3], cb_vals, cp_res)
+                hf = jnp.concatenate([hf, extra], axis=0)
             h = _trunk_fwd(hf, w_vals, skip_layer, compute_dtype)
             sigma = jnp.exp(jnp.clip(h[0:1, :] + db, -30.0, 15.0))  # [1, G*R]
             for g in range(G):
@@ -317,15 +408,21 @@ def _make_final_train_kernel(T, G, n_layers, skip_layer, freq_degree,
 
 
 def _make_final_bwd_kernel(T, G, n_layers, skip_layer, freq_degree,
-                           grid_bound, opaque_last, db, compute_dtype):
+                           grid_bound, opaque_last, db, compute_dtype,
+                           cp_rank=0, cp_res=0):
+    n_cp = 3 if cp_rank else 0
+
     def kernel(pf_ref, o_ref, d_ref, bins_ref, sh_ref, *refs):
         w_refs = refs[:n_layers]
-        gf_ref, gd_ref, gws_ref, gw_ref = refs[n_layers:n_layers + 4]
-        dw_refs = refs[n_layers + 4:]
+        cb_refs = refs[n_layers:n_layers + n_cp]
+        gf_ref, gd_ref, gws_ref, gw_ref = \
+            refs[n_layers + n_cp:n_layers + n_cp + 4]
+        dw_refs = refs[n_layers + n_cp + 4:n_layers + n_cp + 4 + n_layers]
+        dcb_refs = refs[n_layers + n_cp + 4 + n_layers:]
 
         @pl.when(pl.program_id(0) == 0)
         def _zero():
-            for r in dw_refs:
+            for r in list(dw_refs) + list(dcb_refs):
                 r[:] = jnp.zeros_like(r)
 
         o = o_ref[:].astype(jnp.float32)
@@ -336,6 +433,7 @@ def _make_final_bwd_kernel(T, G, n_layers, skip_layer, freq_degree,
         gws = gws_ref[:]        # [1, R]
         pf_val = pf_ref[:]
         w_vals = [w[:] for w in w_refs]
+        cb_vals = [c[:] for c in cb_refs]
         R = o.shape[1]
 
         # dL/dw_s contribution from the sh half of color is sample-const
@@ -350,6 +448,9 @@ def _make_final_bwd_kernel(T, G, n_layers, skip_layer, freq_degree,
         for gi in range(T // G):
             t_sl, d_sl, hf = _geom_group(o, dd, bins_ref, gi * G, G, pf_val,
                                          grid_bound)
+            if n_cp:
+                hf = jnp.concatenate(
+                    [hf, _cp_extra(hf[:3], cb_vals, cp_res)], axis=0)
             h = _trunk_fwd(hf, w_vals, skip_layer, compute_dtype)
             raw = h[0:1, :]
             sigma = jnp.exp(jnp.clip(raw + db, -30.0, 15.0))
@@ -389,6 +490,10 @@ def _make_final_bwd_kernel(T, G, n_layers, skip_layer, freq_degree,
                                             d_ds * dl_l[s] * sigma, 0.0)
             _, _, hf = _geom_group(o, dd, bins_ref, gi * G, G, pf_val,
                                    grid_bound)
+            if n_cp:
+                xn = hf[:3]
+                extra, las = _cp_extra(xn, cb_vals, cp_res, keep_las=True)
+                hf = jnp.concatenate([hf, extra], axis=0)
             _, inputs = _trunk_fwd(hf, w_vals, skip_layer, compute_dtype,
                                    keep_inputs=True)
             d_raw = (d_raw_sl[0] if G == 1 else
@@ -396,8 +501,15 @@ def _make_final_bwd_kernel(T, G, n_layers, skip_layer, freq_degree,
             w_row = (w_l[gi * G] if G == 1 else
                      jnp.concatenate(w_l[gi * G:gi * G + G], axis=1))
             dh = jnp.concatenate([d_raw, w_row * gf_tile], axis=0)  # [16,·]
-            _trunk_bwd_accum(dh, w_vals, inputs, skip_layer, compute_dtype,
-                             dw_refs)
+            d_extra = _trunk_bwd_accum(dh, w_vals, inputs, skip_layer,
+                                       compute_dtype, dw_refs,
+                                       extra_rows=cp_rank)
+            if n_cp:
+                # product rule through extra = La_x * La_y * La_z
+                d_las = [d_extra * las[1] * las[2],
+                         d_extra * las[0] * las[2],
+                         d_extra * las[0] * las[1]]
+                _cp_bwd_accum(xn, d_las, dcb_refs, cp_res)
 
     return kernel
 
@@ -485,45 +597,71 @@ def _pad_t(x, pad, cv=0.0):
 from functools import partial as _partial
 
 
+def _parse_static(static):
+    """(freq_degree, skip_layer, grid_bound, opaque_last, density_bias
+    [, cp_rank, cp_res]) — the 5-tuple form is the cp_rank=0 flagship."""
+    if len(static) == 5:
+        return (*static, 0, 0)
+    return static
+
+
+def _split_params(params, cp_rank):
+    """*params = trunk layers then (when cp_rank>0) the 3 CP bases."""
+    if cp_rank:
+        return params[:-3], params[-3:]
+    return params, ()
+
+
 @_partial(jax.custom_vjp, nondiff_argnums=(0,))
-def final_level_train(static, rays_o, rays_d, real_bins, sh, *ws):
+def final_level_train(static, rays_o, rays_d, real_bins, sh, *params):
     """Differentiable fused final level.  static = (freq_degree, skip_layer,
-    grid_bound, opaque_last, density_bias).  Returns (f_image [N, C],
-    depth [N], weights_sum [N], weights [N, T]).  Grads flow ONLY to ws."""
-    out, _ = _final_train_fwd_impl(static, rays_o, rays_d, real_bins, sh, ws)
+    grid_bound, opaque_last, density_bias[, cp_rank, cp_res]).  *params =
+    trunk weights, then (cp_rank > 0) the three CP basis matrices
+    [cp_res, cp_rank].  Returns (f_image [N, C], depth [N],
+    weights_sum [N], weights [N, T]).  Grads flow ONLY to *params."""
+    out, _ = _final_train_fwd_impl(static, rays_o, rays_d, real_bins, sh,
+                                   params)
     return out
 
 
-def _final_train_fwd_impl(static, rays_o, rays_d, real_bins, sh, ws):
-    freq_degree, skip_layer, grid_bound, opaque_last, db = static
+def _final_train_fwd_impl(static, rays_o, rays_d, real_bins, sh, params):
+    freq_degree, skip_layer, grid_bound, opaque_last, db, cp_rank, cp_res = \
+        _parse_static(static)
+    ws, cps = _split_params(params, cp_rank)
     N = rays_o.shape[0]
     T = real_bins.shape[1] - 1
     n_layers = len(ws)
     G = _pick_group(T, GROUP_FWD)
-    pad = (-N) % R_TILE_TRAIN
+    # CP adds ~3x [CP_CHUNK, G*R] + [rank, G*R] fp32 transients per group
+    # pass; halve the ray tile to stay inside scoped VMEM
+    r_tile = R_TILE_TRAIN // 2 if cp_rank else R_TILE_TRAIN
+    pad = (-N) % r_tile
     ot, dt = _pad_t(rays_o, pad), _pad_t(rays_d, pad)
     bt = _pad_t(real_bins, pad, cv=1.0)
     st = _pad_t(sh, pad)
     Np = ot.shape[1]
     Pf = jnp.asarray(_freq_rows_matrix(3, freq_degree))
     wts = [w.T for w in ws]
+    cbt = [c.T for c in cps]
     C = 15 + sh.shape[1]
 
     kernel = _make_final_train_kernel(T, G, n_layers, skip_layer,
                                       freq_degree, grid_bound, opaque_last,
-                                      db, jnp.bfloat16)
+                                      db, jnp.bfloat16,
+                                      cp_rank=cp_rank, cp_res=cp_res)
     f_img, depth, wsum, w_out = pl.pallas_call(
         kernel,
         interpret=INTERPRET,
-        grid=(Np // R_TILE_TRAIN,),
+        grid=(Np // r_tile,),
         in_specs=[_const_spec(Pf.shape)]
-        + [_row_spec(r, R_TILE_TRAIN) for r in (3, 3, T + 1, sh.shape[1])]
-        + [_const_spec(w.shape) for w in wts],
+        + [_row_spec(r, r_tile) for r in (3, 3, T + 1, sh.shape[1])]
+        + [_const_spec(w.shape) for w in wts]
+        + [_const_spec(c.shape) for c in cbt],
         out_specs=(
-            _row_spec(C, R_TILE_TRAIN),
-            _row_spec(1, R_TILE_TRAIN),
-            _row_spec(1, R_TILE_TRAIN),
-            _row_spec(T, R_TILE_TRAIN),
+            _row_spec(C, r_tile),
+            _row_spec(1, r_tile),
+            _row_spec(1, r_tile),
+            _row_spec(T, r_tile),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((C, Np), jnp.float32),
@@ -531,18 +669,21 @@ def _final_train_fwd_impl(static, rays_o, rays_d, real_bins, sh, ws):
             jax.ShapeDtypeStruct((1, Np), jnp.float32),
             jax.ShapeDtypeStruct((T, Np), jnp.float32),
         ),
-    )(Pf, ot, dt, bt, st, *wts)
+    )(Pf, ot, dt, bt, st, *wts, *cbt)
     out = (f_img.T[:N], depth[0, :N], wsum[0, :N], w_out.T[:N])
-    return out, (rays_o, rays_d, real_bins, sh, ws)
+    return out, (rays_o, rays_d, real_bins, sh, params)
 
 
-def _final_train_fwd(static, rays_o, rays_d, real_bins, sh, *ws):
-    return _final_train_fwd_impl(static, rays_o, rays_d, real_bins, sh, ws)
+def _final_train_fwd(static, rays_o, rays_d, real_bins, sh, *params):
+    return _final_train_fwd_impl(static, rays_o, rays_d, real_bins, sh,
+                                 params)
 
 
 def _final_train_bwd(static, res, g):
-    freq_degree, skip_layer, grid_bound, opaque_last, db = static
-    rays_o, rays_d, real_bins, sh, ws = res
+    freq_degree, skip_layer, grid_bound, opaque_last, db, cp_rank, cp_res = \
+        _parse_static(static)
+    rays_o, rays_d, real_bins, sh, params = res
+    ws, cps = _split_params(params, cp_rank)
     g_f, g_depth, g_wsum, g_w = g
     N = rays_o.shape[0]
     T = real_bins.shape[1] - 1
@@ -560,30 +701,36 @@ def _final_train_bwd(static, res, g):
     Np = ot.shape[1]
     Pf = jnp.asarray(_freq_rows_matrix(3, freq_degree))
     wts = [w.T for w in ws]
+    cbt = [c.T for c in cps]
     C = 15 + sh.shape[1]
 
     kernel = _make_final_bwd_kernel(T, G, n_layers, skip_layer, freq_degree,
-                                    grid_bound, opaque_last, db, jnp.bfloat16)
+                                    grid_bound, opaque_last, db, jnp.bfloat16,
+                                    cp_rank=cp_rank, cp_res=cp_res)
     in_specs = (
         [_const_spec(Pf.shape)]
         + [_row_spec(r, R_TILE_BWD_FINAL) for r in (3, 3, T + 1, sh.shape[1])]
         + [_const_spec(w.shape) for w in wts]
+        + [_const_spec(c.shape) for c in cbt]
         + [_row_spec(r, R_TILE_BWD_FINAL) for r in (C, 1, 1, T)]
     )
-    dwts = pl.pallas_call(
+    douts = pl.pallas_call(
         kernel,
         interpret=INTERPRET,
         grid=(Np // R_TILE_BWD_FINAL,),
         in_specs=in_specs,
-        out_specs=tuple(_const_spec(w.shape) for w in wts),
+        out_specs=tuple(_const_spec(w.shape) for w in wts)
+        + tuple(_const_spec(c.shape) for c in cbt),
         out_shape=tuple(
             jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wts
+        ) + tuple(
+            jax.ShapeDtypeStruct(c.shape, jnp.float32) for c in cbt
         ),
-    )(Pf, ot, dt, bt, st, *wts, gft, gdt, gwst, gwt)
-    d_ws = tuple(dw.T for dw in dwts)
+    )(Pf, ot, dt, bt, st, *wts, *cbt, gft, gdt, gwst, gwt)
+    d_params = tuple(d.T for d in douts)
     zeros = (jnp.zeros_like(rays_o), jnp.zeros_like(rays_d),
              jnp.zeros_like(real_bins), jnp.zeros_like(sh))
-    return zeros + d_ws
+    return zeros + d_params
 
 
 final_level_train.defvjp(_final_train_fwd, _final_train_bwd)

@@ -155,3 +155,81 @@ def test_grads_do_not_flow_to_rays_or_bins(rays):
         STATIC_F, r, rd, b, sh, *ws)[0] ** 2), argnums=(0, 1))(ro, bins)
     assert float(jnp.abs(g[0]).max()) == 0.0
     assert float(jnp.abs(g[1]).max()) == 0.0
+
+
+# ---- CP-extended final level (cp_rank > 0 flagship) -----------------------
+
+CP_RANK, CP_RES = 8, 32
+STATIC_CP = (10, 2, 128.0, True, -1.5, CP_RANK, CP_RES)
+
+
+def _cp_feats_ref(xn, cps):
+    """Oracle = models/mlp_field.py cp_features (fp32 one-hot matmuls)."""
+    S = CP_RES
+    p = jnp.clip((xn + 1.0) * 0.5, 0.0, 1.0) * (S - 1)
+    i0 = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, S - 2)
+    f = p - i0
+    iota = jnp.arange(S)
+    g = None
+    for a in range(3):
+        W = (jnp.where(iota == i0[..., a, None], 1.0 - f[..., a, None], 0.0)
+             + jnp.where(iota == i0[..., a, None] + 1, f[..., a, None], 0.0))
+        La = jnp.dot(W, cps[a], preferred_element_type=jnp.float32)
+        g = La if g is None else g * La
+    return g
+
+
+def _mlp_cp(xyz, extra, ws, degree, skip):
+    f = jnp.concatenate([xyz * (2.0 ** k) for k in range(degree)], -1)
+    h = jnp.concatenate([xyz, jnp.sin(f), jnp.cos(f),
+                         extra.astype(jnp.float32)], -1).astype(jnp.bfloat16)
+    h_in = h
+    for l, w in enumerate(ws):
+        if l == skip:
+            h = jnp.concatenate([h, h_in], -1)
+        h = jnp.dot(h, w.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        if l != len(ws) - 1:
+            h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+    return h
+
+
+def ref_final_cp(ro, rd, bins, sh, ws, cps, static):
+    degree, skip, bound, opaque, db = static[:5]
+    t_mid = (bins[:, 1:] + bins[:, :-1]) / 2
+    xyz = _contract(ro[:, None] + rd[:, None] * t_mid[..., None], bound)
+    h = _mlp_cp(xyz, _cp_feats_ref(xyz, cps), ws, degree, skip)
+    w_s, t = _composite(h, bins, opaque, db)
+    color = jnp.concatenate([h[..., 1:], jnp.tile(sh[:, None], (1, T, 1))], -1)
+    return (jnp.sum(w_s[..., None] * color, 1), jnp.sum(w_s * t, 1),
+            jnp.sum(w_s, 1), w_s)
+
+
+def test_final_level_cp_forward_and_vjp(rays):
+    ro, rd, bins, sh = rays
+    rng = np.random.default_rng(4)
+    in0 = 63 + CP_RANK
+    ws = tuple(jnp.asarray(rng.normal(size=s) * 0.3, jnp.float32)
+               for s in [(in0, 256), (256, 256), (256 + in0, 256), (256, 16)])
+    cps = tuple(jnp.asarray(rng.normal(size=(CP_RES, CP_RANK)) * 0.3,
+                            jnp.float32) for _ in range(3))
+
+    out_k = rlp.final_level_train(STATIC_CP, ro, rd, bins, sh, *ws, *cps)
+    out_r = ref_final_cp(ro, rd, bins, sh, list(ws), list(cps), STATIC_CP)
+    for name, a, b in zip(("f_img", "depth", "wsum", "weights"), out_k, out_r):
+        assert _rel(a, b) < 2e-2, name
+
+    def loss(fn):
+        def f(p):
+            fi, d, w, ww = fn(p)
+            return (jnp.sum(fi ** 2) + 0.1 * jnp.sum(d) + 0.01 * jnp.sum(w)
+                    + jnp.sum(ww ** 2))
+        return f
+
+    gk = jax.grad(loss(lambda p: rlp.final_level_train(
+        STATIC_CP, ro, rd, bins, sh, *p)))(ws + cps)
+    gr = jax.grad(loss(lambda p: ref_final_cp(
+        ro, rd, bins, sh, list(p[:4]), list(p[4:]), STATIC_CP)))(ws + cps)
+    names = [f"dW{i}" for i in range(4)] + [f"dCP{a}" for a in "xyz"]
+    for n_, a, b in zip(names, gk, gr):
+        assert _rel(a, b) < 2e-2, n_
