@@ -14,6 +14,17 @@ import numpy as np
 
 from .config import Config
 
+# Honor JAX_PLATFORMS/JAX_PLATFORM_NAME even though this image's TPU
+# plugin imports jax at interpreter start (sitecustomize), which makes the
+# env vars too late on their own: the platform list must be forced
+# post-import, before backend init.  Without this, CPU-forced CLI runs
+# wedge in the plugin's connect-retry loop whenever the TPU tunnel is down.
+_plat = os.environ.get("JAX_PLATFORMS") or os.environ.get("JAX_PLATFORM_NAME")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat.lower())
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()

@@ -256,8 +256,14 @@ def train_mask(trainer: Trainer, scene: Scene, iters: Optional[int] = None):
             error_map = update_error_map(trainer, scene, masks, poses, intr,
                                          H, W)
         if step % 20 == 0 or step == iters:
+            # per-component logging: the total jumps when the ray-pair RGB
+            # loss activates at ray_pair_rgb_iter (a new loss term, not a
+            # divergence); ce alone is the comparable curve
+            parts = "".join(
+                f" {k}={float(metrics[k]):.4f}"
+                for k in ("ce", "label_reg", "ray_pair") if k in metrics)
             trainer.log(f"[mask {step}/{iters}] "
-                        f"loss={float(metrics['loss']):.4f} "
+                        f"loss={float(metrics['loss']):.4f}{parts} "
                         f"acc={float(metrics['acc']):.4f}")
     trainer.ckpt.save(int(trainer.state.step), trainer._state_tree())
     return error_map

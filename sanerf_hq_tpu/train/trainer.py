@@ -81,9 +81,28 @@ class Trainer:
             freeze_mask=freeze_mask, lr_scales=lr_scales,
         )
 
-        # resume
+        # resume.  Optimizer restore is best-effort, matching the reference
+        # (nerf/trainer.py:1807-1830 wraps optimizer/scheduler load in
+        # try/except): a stage-3 checkpoint written under a freeze-mask
+        # optimizer must still be loadable for --test without --init_ckpt,
+        # where the default optimizer's opt_state tree differs.
         if use_checkpoint == "latest":
-            restored = self.ckpt.restore("latest", self._state_tree())
+            try:
+                restored = self.ckpt.restore("latest", self._state_tree())
+            except ValueError:
+                restored = None
+                raw = self.ckpt.restore("latest")
+                if raw is not None:
+                    params, _ = partial_load(self.state.params, raw["params"])
+                    ema, _ = partial_load(self.state.ema_params,
+                                          raw["ema_params"])
+                    self.state = self.state.replace(
+                        step=jnp.asarray(raw["step"]),
+                        params=params, ema_params=ema)
+                    self.log("[WARN] checkpoint optimizer state does not "
+                             "match the current optimizer; loaded model "
+                             "weights only (resumed at step "
+                             f"{int(self.state.step)})")
             if restored is not None:
                 self._load_state_tree(restored)
                 self.log(f"[INFO] resumed at step {int(self.state.step)}")
@@ -197,14 +216,37 @@ class Trainer:
             self._run_epoch = run_epoch
 
         t_start = time.time()
-        step0 = int(self.state.step)
+        py_step = step0 = int(self.state.step)  # single sync, then host-side
         # scan chunks are capped: very long device-side scans of the
-        # hash-grid step (scatter_add backward) have crashed the TPU
+        # HASH-GRID step (scatter_add backward) have crashed the TPU
         # worker at 112 steps while 22-step scans run fine; 32 keeps the
-        # dispatch overhead amortized ~100x without tickling that
-        SCAN_CAP = 32
+        # dispatch overhead amortized ~100x without tickling that.  The
+        # scatter-free fields (mlp flagship: matmul-only megakernel
+        # backward) have never crashed and scan whole epochs.
+        SCAN_CAP = 32 if "hashgrid" in getattr(
+            self.model, "field_kind", "hashgrid") else 256
+
+        # 1-deep log pipeline: pulling an epoch's metrics blocks on the
+        # device tunnel (~27 ms RTT), so log epoch e only after epoch e+1
+        # is dispatched — the pull then overlaps device compute instead of
+        # serializing every epoch on a round-trip
+        pending = None
+
+        def _flush():
+            nonlocal pending
+            if pending is None:
+                return
+            ep, st, m = pending
+            pending = None
+            loss = float(jax.device_get(m["loss"]))
+            psnr = float(jax.device_get(m["psnr"]))
+            self.log(f"[epoch {ep}/{max_epoch}] step {st} "
+                     f"loss={loss:.5f} train_psnr={psnr:.2f} "
+                     f"lr={self._lr(st):.5f}")
+            self.stats["loss"].append(loss)
+
         for epoch in range(1, max_epoch + 1):
-            k = min(steps_per_epoch, cfg.iters - int(self.state.step))
+            k = min(steps_per_epoch, cfg.iters - py_step)
             if k <= 0:
                 break
             self.key, sub = jax.random.split(self.key)
@@ -215,32 +257,31 @@ class Trainer:
                 self.state, metrics = self._run_epoch(
                     self.state, sub, kc, done + kc >= k)
                 done += kc
-            losses = [metrics]
-            if losses:
-                loss = float(jax.device_get(losses[-1]["loss"]))
-                psnr = float(jax.device_get(losses[-1]["psnr"]))
-                self.log(f"[epoch {epoch}/{max_epoch}] step {int(self.state.step)} "
-                         f"loss={loss:.5f} train_psnr={psnr:.2f} "
-                         f"lr={self._lr():.5f}")
-                self.stats["loss"].append(loss)
+            py_step += k
+            _flush()
+            pending = (epoch, py_step, metrics)
             if epoch % save_interval == 0 or epoch == max_epoch:
-                self.ckpt.save(int(self.state.step), self._state_tree())
+                _flush()
+                self.ckpt.save(py_step, self._state_tree())
             if val_scene is not None and (epoch % eval_interval == 0
                                           or epoch == max_epoch):
+                _flush()
                 score = self.evaluate(val_scene, save_dir=None)
                 if score > self.best_metric:
                     self.best_metric = score
-                    self.ckpt.save(int(self.state.step), self._state_tree(),
-                                   best=True)
-            if int(self.state.step) >= cfg.iters:
+                    self.ckpt.save(py_step, self._state_tree(), best=True)
+            if py_step >= cfg.iters:
                 break
+        _flush()
         dt = (time.time() - t_start) / 60
-        nsteps = int(self.state.step) - step0
+        nsteps = py_step - step0
         self.log(f"[INFO] training took {dt:.2f} min "
                  f"({nsteps / max(dt * 60, 1e-9):.1f} steps/s)")
 
-    def _lr(self):
-        frac = min(int(self.state.step) / self.cfg.iters, 1.0)
+    def _lr(self, step=None):
+        if step is None:
+            step = int(self.state.step)
+        frac = min(step / self.cfg.iters, 1.0)
         return self.cfg.lr * 0.1 ** frac
 
     # -- eval / test --------------------------------------------------------

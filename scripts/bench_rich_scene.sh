@@ -36,6 +36,16 @@ python main.py "$SCENE" $COMMON --workspace "$WS/sam_$FIELD" \
   --field_type "$FIELD" --with_sam --feature_container cache \
   --sam_model_type "$SAM_SIZE" --init_ckpt "$WS/rgb_$FIELD" --iters 0
 
+if [ -n "$DISTILL_ITERS" ]; then
+  echo "=== stage 2b: SAM feature distillation ($DISTILL_ITERS iters) ==="
+  # reference distill branch (nerf/trainer.py:507-555) + rendered-feature
+  # MSE eval (:648-691); cache mode above is the default container
+  python main.py "$SCENE" $COMMON --workspace "$WS/distill_$FIELD" \
+    --field_type "$FIELD" --with_sam --feature_container distill \
+    --sam_model_type "$SAM_SIZE" --init_ckpt "$WS/rgb_$FIELD" \
+    --iters "$DISTILL_ITERS" --num_rays 4096 ${DISTILL_FLAGS:-}
+fi
+
 echo "=== decode: point prompts -> per-view masks ==="
 python main.py "$SCENE" $COMMON --workspace "$WS/sam_$FIELD" \
   --field_type "$FIELD" --test --decode --use_point \

@@ -281,3 +281,34 @@ def test_adaptive_num_rays_steady_state(tmp_path):
                   img_names=np.array(["a", "b"]))
     t.train(scene, max_epoch=1)
     assert t.cfg.num_rays == 1024 // 4
+
+
+def test_freeze_mask_ckpt_loads_without_init_ckpt(tmp_path):
+    """A stage-3 checkpoint written under the freeze-mask optimizer
+    (--init_ckpt hand-off) must load in --test mode, where no --init_ckpt
+    is given and the default optimizer's opt_state tree differs.  Mirrors
+    the reference's best-effort optimizer restore
+    (nerf/trainer.py:1807-1830): weights load, optimizer resets."""
+    from sanerf_hq_tpu.train.trainer import Trainer
+
+    cfg = CFG.replace(with_mask=True)
+    model = SANeRFField(grid_bound=cfg.grid_bound, with_mask=True,
+                        n_inst=cfg.n_inst, **SMALL)
+    # stage-1 backbone params as the init checkpoint (RGB-only model)
+    m1 = SANeRFField(grid_bound=cfg.grid_bound, **SMALL)
+    init_params = _init(m1)
+
+    ws = str(tmp_path / "ws")
+    t1 = Trainer("t", cfg, model, ws, use_checkpoint="scratch",
+                 init_params=init_params)
+    t1.state = t1.state.replace(step=jnp.asarray(7, jnp.int32))
+    t1.ckpt.save(7, t1._state_tree())
+
+    # --test mode: same model, no init_params -> different optimizer tree
+    t2 = Trainer("t", cfg, model, ws, use_checkpoint="latest")
+    assert int(t2.state.step) == 7
+    jax.tree.map(
+        np.testing.assert_array_equal, t2.state.params, t1.state.params)
+    jax.tree.map(
+        np.testing.assert_array_equal, t2.state.ema_params,
+        t1.state.ema_params)
