@@ -18,6 +18,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # persistent compile cache: CPU compiles here are slow (remote-compile
-# environment); cache across test runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# environment); cache across test runs.  Keyed by the host's CPU feature
+# set: XLA:CPU AOT artifacts are machine-specific, and a cache written on
+# a different host silently loads with mismatched features ("could lead
+# to execution errors such as SIGILL" — observed as wrong decode-gate
+# numerics, not a crash).
+import hashlib
+
+try:
+    with open("/proc/cpuinfo") as f:
+        _flags = next((l for l in f if l.startswith("flags")), "")
+except OSError:
+    _flags = ""
+_mach = hashlib.sha1(_flags.encode()).hexdigest()[:10]
+jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_test_cache_{_mach}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
