@@ -404,9 +404,10 @@ def decode(trainer: Trainer, scene: Scene, sam_predictor,
             fo = feats_render(trainer.state.params, ro, rd)
             feats = np.asarray(fo["samvit"]).reshape(64, 64, -1)
 
+        gate_info: dict = {}
         coords, labels, crucial, is_valid = project_points_to_view(
             prompts, scene.poses[i], np.asarray(intr), H, W,
-            pred_depth=depth, depth_tol=depth_tol,
+            pred_depth=depth, depth_tol=depth_tol, info=gate_info,
         )
         if coords is not None:
             sam_predictor.set_features(feats, original_size=(H, W))
@@ -431,7 +432,10 @@ def decode(trainer: Trainer, scene: Scene, sam_predictor,
         np.save(os.path.join(out_dir, f"{stem}_obj_mask.npy"),
                 pred_mask.astype(np.uint8)[None])
         valid_dict[stem] = int(bool(is_valid))
-        trainer.log(f"[decode] {stem} valid={is_valid}")
+        err = gate_info.get("depth_err")
+        err_s = (f" gate|z-depth| min={err.min():.3f} max={err.max():.3f}"
+                 f" tol={depth_tol}" if err is not None and err.size else "")
+        trainer.log(f"[decode] {stem} valid={is_valid}{err_s}")
 
     with open(os.path.join(out_dir, "valid_dict.json"), "w") as f:
         json.dump(valid_dict, f, indent=2)

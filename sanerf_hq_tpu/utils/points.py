@@ -41,12 +41,15 @@ def load_point_file(path: str) -> PointPrompts:
 def project_points_to_view(prompts: PointPrompts, pose: np.ndarray,
                            intrinsics: np.ndarray, H: int, W: int,
                            pred_depth: Optional[np.ndarray] = None,
-                           depth_tol: float = 0.05):
+                           depth_tol: float = 0.05,
+                           info: Optional[dict] = None):
     """Project world points into a view with screen-bounds + depth-test
     occlusion rejection (nerf/trainer.py:936-971).
 
     Note the reference's x-flip: x = W - (fx*X/Z + cx).
     Returns (coords [M, 2] int32 (x, y), labels [M], crucial [M], is_valid).
+    If `info` is a dict, fills it with per-point gate diagnostics
+    ("depth_err": |point z - rendered depth| for each on-screen point).
     """
     pts_h = np.concatenate(
         [prompts.points, np.ones_like(prompts.points[:, :1])], axis=-1
@@ -67,7 +70,10 @@ def project_points_to_view(prompts: PointPrompts, pose: np.ndarray,
     if pred_depth is not None:
         point_depth = -cam[screen, 2]
         observed = pred_depth[coords[:, 1], coords[:, 0]]
-        unoccluded = np.abs(point_depth - observed) <= depth_tol
+        err = np.abs(point_depth - observed)
+        if info is not None:
+            info["depth_err"] = err
+        unoccluded = err <= depth_tol
         if not unoccluded.any():
             return None, None, None, False
         coords = coords[unoccluded]

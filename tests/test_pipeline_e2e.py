@@ -72,11 +72,17 @@ def test_full_pipeline(tmp_path):
 
     # ---- decode: point prompts -> per-view masks ----------------------------
     # Surface point facing camera 0 (sphere radius 0.5, cameras orbit at
-    # r=2).  The depth gate runs at a REAL tolerance (0.15, vs the 1.0
-    # z-gap of the antipodal point): view v0 must pass the occlusion gate,
-    # the opposite view v2 — where the same point is behind the sphere —
-    # must be rejected.  (Regression: a depth_tol=10.0 loophole used to
-    # disable the gate entirely.)
+    # r=2).  The depth gate runs at a DISCRIMINATING tolerance: view v0
+    # must pass the occlusion gate, the opposite view v2 — where the same
+    # point is behind the sphere (z-gap ~0.73) — must be rejected.
+    # (Regression: a depth_tol=10.0 loophole used to disable the gate
+    # entirely.)  Tolerance is 0.3, not the reference's hard-coded 0.05
+    # (nerf/trainer.py:958): after this smoke test's 120 iters the density
+    # is still soft, so Sigma(w*t) overshoots the true surface z by ~0.20
+    # at the front pixel (measured) — scale-appropriate for a 32x32/120-it
+    # fit, and still < half the 0.73 occlusion gap.  The gate at the real
+    # 0.05 is held by tests/test_decode_points.py (analytic depth) and by
+    # the rich-scene TPU decode (24/24 views valid at 0.05, docs/PERF.md).
     eye0 = scene.poses[0][:3, 3]
     front = (0.5 * eye0 / np.linalg.norm(eye0)).astype(np.float32)
     prompts = PointPrompts(
@@ -86,7 +92,7 @@ def test_full_pipeline(tmp_path):
         valid_threshold=1,
     )
     mask_dir = stages.decode(t2, scene, sam, prompts,
-                             feature_container="cache", depth_tol=0.15)
+                             feature_container="cache", depth_tol=0.3)
     import json
     with open(os.path.join(mask_dir, "valid_dict.json")) as f:
         valid = json.load(f)
