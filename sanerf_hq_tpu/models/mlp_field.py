@@ -250,6 +250,21 @@ class MLPField(nn.Module):
                                 opaque_last=opaque_last,
                                 density_bias=self.density_bias)
 
+    def fused_prop_next_bins(self, rays_o, rays_d, real_bins, s_bins, u,
+                             proposal: int, opaque_last: bool = True):
+        """Proposal level + inverse-CDF resampling fused in one kernel
+        (inference): returns the NEXT level's s-space bin edges [N, Q]
+        without the per-sample weights ever leaving VMEM."""
+        from ..ops.render_level_pallas import fused_prop_level_sample
+
+        mlp = self.prop_mlp_0 if proposal == 0 else self.prop_mlp_1
+        ws = [mlp.variables["params"][f"w{l}"]
+              for l in range(self.prop_layers)]
+        return fused_prop_level_sample(
+            rays_o, rays_d, real_bins, s_bins, u, ws,
+            self.prop_freq_degree, self.grid_bound,
+            opaque_last=opaque_last, density_bias=self.density_bias)
+
     def fused_final_render(self, rays_o, rays_d, real_bins,
                            opaque_last: bool = True):
         """Final render level fused into one Pallas kernel (geometry +

@@ -150,6 +150,143 @@ def fused_prop_level(rays_o, rays_d, real_bins, ws: Sequence,
 
 
 # ---------------------------------------------------------------------------
+# Proposal megakernel WITH in-VMEM inverse-CDF resampling (inference).
+#
+# The composable inference path round-trips per-sample weights [N, T]
+# through HBM (prop kernel out -> transpose -> +0.01 / normalize / cumsum
+# in XLA -> transpose -> sample_pdf lookup kernel) just to produce the
+# next level's T'+1 bin edges.  Folding the resampling into the prop
+# kernel's epilogue removes all of it: the weights stay in VMEM scratch,
+# the cdf is an in-register running sum, and the prefix/suffix lookups are
+# the same statically-unrolled [Q, R] sweep sample_pdf_lookup_pallas runs
+# — against the UNNORMALIZED cumsum, comparing with u*total instead of
+# dividing (the selection and the final interpolation ratio are invariant
+# under the positive scaling).  Training keeps the weights output: the
+# interlevel proposal loss consumes them (ops/composite.py).
+# ---------------------------------------------------------------------------
+
+def _make_prop_sample_kernel(T: int, Q: int, G: int, n_layers: int,
+                             freq_degree: int, grid_bound: float,
+                             opaque_last: bool, db: float, compute_dtype):
+    def kernel(pf_ref, o_ref, d_ref, bins_ref, sbins_ref, u_ref, *refs):
+        w_refs = refs[:n_layers]
+        out_ref = refs[n_layers]
+        wsc_ref = refs[n_layers + 1]  # VMEM scratch [T, R]: w_s + 0.01
+
+        o = o_ref[:].astype(jnp.float32)
+        dd = d_ref[:].astype(jnp.float32)
+        pf_val = pf_ref[:]
+        w_vals = [w[:] for w in w_refs]
+        R = o.shape[1]
+
+        # pass 1: the prop level itself (identical to _make_prop_kernel),
+        # floored weights to scratch + running total
+        trans = jnp.ones((1, R), jnp.float32)
+        total = jnp.zeros((1, R), jnp.float32)
+        for gi in range(T // G):
+            _, d_sl, hf = _geom_group(o, dd, bins_ref, gi * G, G, pf_val,
+                                      grid_bound)
+            h = _trunk_fwd(hf, w_vals, -1, compute_dtype)
+            sigma = jnp.exp(jnp.clip(h[0:1, :] + db, -30.0, 15.0))
+            for g in range(G):
+                s = gi * G + g
+                sl = slice(g * R, (g + 1) * R)
+                if opaque_last and s == T - 1:
+                    e = jnp.zeros((1, R), jnp.float32)
+                else:
+                    e = jnp.exp(-d_sl[g] * sigma[:, sl])
+                w = (1.0 - e) * trans + 0.01
+                wsc_ref[s:s + 1, :] = w
+                total = total + w
+                trans = trans * e
+
+        # pass 2: inverse-CDF lookup on the raw cumsum (ops/ray.py
+        # sample_pdf semantics; cdf_k <= u  <=>  cumsum_k <= u*total)
+        u = u_ref[:]                        # [Q, R]
+        ut = u * total                      # broadcast [1,R] over Q rows
+        neg = jnp.float32(-1e38)
+        pos = jnp.float32(1e38)
+        c_g0 = jnp.full((Q, R), neg)
+        s_g0 = jnp.full((Q, R), neg)
+        c_g1 = jnp.full((Q, R), pos)
+        s_g1 = jnp.full((Q, R), pos)
+        c = jnp.zeros((1, R), jnp.float32)  # cdf edge 0
+        for ei in range(T + 1):
+            sb = sbins_ref[ei:ei + 1, :]
+            le = c <= ut                    # [Q, R]
+            c_g0 = jnp.maximum(c_g0, jnp.where(le, c, neg))
+            s_g0 = jnp.maximum(s_g0, jnp.where(le, sb, neg))
+            c_g1 = jnp.minimum(c_g1, jnp.where(le, pos, c))
+            s_g1 = jnp.minimum(s_g1, jnp.where(le, pos, sb))
+            if ei < T:
+                c = jnp.minimum(c + wsc_ref[ei:ei + 1, :], total)
+        c_g1 = jnp.minimum(c_g1, c)         # empty suffix -> last entry
+        s_g1 = jnp.minimum(s_g1, sbins_ref[T:T + 1, :])
+
+        denom = c_g1 - c_g0
+        t = jnp.where(denom > 0,
+                      (ut - c_g0) / jnp.where(denom > 0, denom, 1.0), 0.0)
+        t = jnp.clip(t, 0.0, 1.0)
+        out_ref[:] = s_g0 + t * (s_g1 - s_g0)
+
+    return kernel
+
+
+def fused_prop_level_sample(rays_o, rays_d, real_bins, s_bins, u,
+                            ws: Sequence, freq_degree: int,
+                            grid_bound: float, opaque_last: bool = True,
+                            density_bias: float = 0.0):
+    """Proposal level + inverse-CDF resampling in one kernel.
+
+    s_bins: [N, T+1] s-space edges of THIS level; u: [N, Q] stratified
+    queries for the next level.  Returns the next level's s-space bin
+    edges [N, Q]; per-sample weights never leave VMEM."""
+    N = rays_o.shape[0]
+    T = real_bins.shape[1] - 1
+    Q = u.shape[1]
+    n_layers = len(ws)
+    G = _pick_group(T, GROUP_FWD_PROP)
+    pad = (-N) % R_TILE
+    ot = jnp.pad(rays_o, ((0, pad), (0, 0))).T
+    dt = jnp.pad(rays_d, ((0, pad), (0, 0))).T
+    bt = jnp.pad(real_bins, ((0, pad), (0, 0)), constant_values=1.0).T
+    st = jnp.pad(s_bins, ((0, pad), (0, 0)), constant_values=1.0).T
+    utq = jnp.pad(u, ((0, pad), (0, 0)), constant_values=0.5).T
+    Np = ot.shape[1]
+    grid = (Np // R_TILE,)
+
+    Pf = jnp.asarray(_freq_rows_matrix(3, freq_degree))
+    wts = [w.T for w in ws]
+    kernel = _make_prop_sample_kernel(T, Q, G, n_layers, freq_degree,
+                                      grid_bound, opaque_last, density_bias,
+                                      jnp.bfloat16)
+    out = pl.pallas_call(
+        kernel,
+        interpret=INTERPRET,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(Pf.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T + 1, R_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T + 1, R_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, R_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for w in wts
+        ],
+        out_specs=pl.BlockSpec((Q, R_TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Q, Np), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((T, R_TILE), jnp.float32)],
+    )(Pf, ot, dt, bt, st, utq, *wts)
+    return out.T[:N]
+
+
+# ---------------------------------------------------------------------------
 # Training path: custom-VJP megakernels (sample-GROUPED, round-2 v2).
 #
 # The v1 per-sample loops were VPU-bound: T statically-unrolled iterations

@@ -133,6 +133,7 @@ def render_rays(
     fused_train = fused_capable and settings.training
     fused_out = None
 
+    bins_folded = None
     for level, T in enumerate(settings.num_steps):
         if level == 0:
             bins = jnp.linspace(0.0, 1.0, T + 1, dtype=jnp.float32)
@@ -142,6 +143,9 @@ def render_rays(
                     jax.random.uniform(keys[0], (N, T + 1)) - 0.5
                 ) / T
                 bins = jnp.clip(bins, 0.0, 1.0)
+        elif bins_folded is not None:
+            # bins already produced in-kernel by the fused prop+resample
+            bins, bins_folded = bins_folded, None
         else:
             pk = keys[level] if settings.perturb else None
             bins = jax.lax.stop_gradient(
@@ -156,9 +160,21 @@ def render_rays(
             )
             break
         if fused_final and level < n_levels - 1:
-            # proposal megakernel: weights straight out of VMEM
-            weights = field.fused_prop_weights(
-                rays_o, rays_d, real_bins, proposal=level,
+            # proposal megakernel WITH folded inverse-CDF resampling: the
+            # next level's s-space bins come straight out of VMEM; the
+            # per-sample weights never reach HBM (ops/render_level_pallas.
+            # fused_prop_level_sample).  Same stratified-midpoint queries
+            # as ops/ray.py sample_pdf.
+            Tn = settings.num_steps[level + 1] + 1
+            u = jnp.linspace(0.5 / Tn, 1.0 - 0.5 / Tn, Tn,
+                             dtype=jnp.float32)
+            u = jnp.broadcast_to(u, (N, Tn))
+            if settings.perturb and keys[level + 1] is not None:
+                u = u + (
+                    jax.random.uniform(keys[level + 1], (N, Tn)) - 0.5
+                ) / Tn
+            bins_folded = field.fused_prop_next_bins(
+                rays_o, rays_d, real_bins, bins, u, proposal=level,
                 opaque_last=opaque,
             )
             continue

@@ -146,6 +146,58 @@ def test_prop_level_forward_and_vjp(rays):
         assert _rel(a, b) < 2e-2, f"prop dW{i}"
 
 
+def test_prop_level_folded_sample_pdf(rays):
+    """fused_prop_level_sample == fused_prop_level -> ops/ray.sample_pdf
+    (the XLA masked-reduction path): the in-kernel raw-cumsum lookup must
+    reproduce the normalized-cdf resampling bin-for-bin."""
+    from sanerf_hq_tpu.ops.ray import sample_pdf
+
+    ro, rd, bins, _ = rays
+    rng = np.random.default_rng(4)
+    ws = [jnp.asarray(rng.normal(size=s) * 0.3, jnp.float32)
+          for s in [(39, 64), (64, 64), (64, 1)]]
+    deg, bound, opq, db = STATIC_P
+    # s-space edges of this level: monotone in [0, 1] per ray
+    s_bins = jnp.asarray(
+        np.sort(rng.uniform(0.0, 1.0, (N, T + 1)), axis=1), jnp.float32)
+    Q = 9
+    u = jnp.linspace(0.5 / Q, 1.0 - 0.5 / Q, Q, dtype=jnp.float32)
+    u = jnp.broadcast_to(u, (N, Q))
+    u = u + jnp.asarray(rng.uniform(-0.4 / Q, 0.4 / Q, (N, Q)), jnp.float32)
+
+    got = rlp.fused_prop_level_sample(
+        ro, rd, bins, s_bins, u, ws, deg, bound,
+        opaque_last=opq, density_bias=db)
+
+    weights = rlp.fused_prop_level(
+        ro, rd, bins, ws, deg, bound, opaque_last=opq, density_bias=db)
+    # reproduce sample_pdf's exact query stream by monkey-free injection:
+    # sample_pdf builds cdf from (weights + 0.01) and runs the masked
+    # prefix/suffix lookup on s_bins
+    w = weights + 0.01
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.minimum(jnp.cumsum(pdf, axis=-1), 1.0)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+    le = cdf[:, None, :] <= u[:, :, None]
+    neg, pos = jnp.float32(-1e38), jnp.float32(1e38)
+    cdf_g0 = jnp.max(jnp.where(le, cdf[:, None, :], neg), axis=-1)
+    bins_g0 = jnp.max(jnp.where(le, s_bins[:, None, :], neg), axis=-1)
+    cdf_g1 = jnp.minimum(
+        jnp.min(jnp.where(le, pos, cdf[:, None, :]), axis=-1), cdf[:, -1:])
+    bins_g1 = jnp.minimum(
+        jnp.min(jnp.where(le, pos, s_bins[:, None, :]), axis=-1),
+        s_bins[:, -1:])
+    denom = cdf_g1 - cdf_g0
+    t = jnp.where(denom > 0, (u - cdf_g0) / jnp.where(denom > 0, denom, 1.0),
+                  0.0)
+    want = bins_g0 + jnp.clip(t, 0.0, 1.0) * (bins_g1 - bins_g0)
+
+    assert got.shape == (N, Q)
+    # monotone edges out
+    assert float(jnp.min(jnp.diff(got, axis=-1))) >= -1e-5
+    assert float(jnp.max(jnp.abs(got - want))) < 5e-3
+
+
 def test_grads_do_not_flow_to_rays_or_bins(rays):
     ro, rd, bins, sh = rays
     rng = np.random.default_rng(3)
