@@ -14,13 +14,24 @@ import numpy as np
 
 from .config import Config
 
-# Honor JAX_PLATFORMS/JAX_PLATFORM_NAME even though this image's TPU
-# plugin imports jax at interpreter start (sitecustomize), which makes the
-# env vars too late on their own: the platform list must be forced
-# post-import, before backend init.  Without this, CPU-forced CLI runs
-# wedge in the plugin's connect-retry loop whenever the TPU tunnel is down.
-_plat = os.environ.get("JAX_PLATFORMS") or os.environ.get("JAX_PLATFORM_NAME")
+# Honor user platform forcing (JAX_PLATFORM_NAME / JAX_PLATFORMS) even
+# though this image's TPU plugin imports jax at interpreter start
+# (sitecustomize), making env vars alone too late: the platform list must
+# be re-forced post-import, before backend init.  Subtlety: the plugin's
+# sitecustomize *injects* JAX_PLATFORMS=<tpu-platform> whenever the var is
+# unset, so its mere presence is NOT user intent — naively honoring it
+# turned a user's JAX_PLATFORM_NAME=cpu into a force of the injected TPU
+# value, and the run wedged in the plugin's connect-retry loop at orbax's
+# jax.default_backend() probe whenever the tunnel was down.
+# JAX_PLATFORM_NAME is never injected (always user intent); JAX_PLATFORMS
+# counts only when it does not name the plugin's own platform (a user's
+# JAX_PLATFORMS=cpu also holds natively, the update is reinforcement).
+_plat = os.environ.get("JAX_PLATFORM_NAME")
+if not _plat:
+    _envp = os.environ.get("JAX_PLATFORMS", "")
+    _plat = _envp if _envp and "axon" not in _envp.lower() else None
 if _plat:
+    os.environ["JAX_PLATFORMS"] = _plat.lower()
     import jax
 
     jax.config.update("jax_platforms", _plat.lower())
