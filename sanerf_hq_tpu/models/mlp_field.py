@@ -297,6 +297,21 @@ class MLPField(nn.Module):
              self.density_bias),
             rays_o, rays_d, real_bins, *ws)
 
+    def fused_prop_weights_train_sample(self, rays_o, rays_d, real_bins,
+                                        s_bins, u, proposal: int,
+                                        opaque_last: bool = True):
+        """Training twin of fused_prop_next_bins: returns (weights [N, T]
+        for the interlevel loss, next s-space bins [N, Q] detached)."""
+        from ..ops.render_level_pallas import prop_level_train_sample
+
+        mlp = self.prop_mlp_0 if proposal == 0 else self.prop_mlp_1
+        ws = [mlp.variables["params"][f"w{l}"]
+              for l in range(self.prop_layers)]
+        return prop_level_train_sample(
+            (self.prop_freq_degree, self.grid_bound, opaque_last,
+             self.density_bias),
+            rays_o, rays_d, real_bins, s_bins, u, *ws)
+
     def fused_final_render_train(self, rays_o, rays_d, real_bins,
                                  opaque_last: bool = True):
         """Differentiable fused final level.  Returns (f_image [N, 31],

@@ -36,6 +36,7 @@ activation stash.
 """
 from __future__ import annotations
 
+from functools import partial as _partial
 from typing import Sequence
 
 import jax
@@ -167,11 +168,21 @@ def fused_prop_level(rays_o, rays_d, real_bins, ws: Sequence,
 
 def _make_prop_sample_kernel(T: int, Q: int, G: int, n_layers: int,
                              freq_degree: int, grid_bound: float,
-                             opaque_last: bool, db: float, compute_dtype):
+                             opaque_last: bool, db: float, compute_dtype,
+                             weights_out: bool = False):
+    """weights_out=False (inference): weights live only in VMEM scratch.
+    weights_out=True (training): the RAW weights are also a kernel output
+    (the interlevel proposal loss consumes them) and double as the pass-2
+    staging buffer."""
     def kernel(pf_ref, o_ref, d_ref, bins_ref, sbins_ref, u_ref, *refs):
         w_refs = refs[:n_layers]
-        out_ref = refs[n_layers]
-        wsc_ref = refs[n_layers + 1]  # VMEM scratch [T, R]: w_s + 0.01
+        if weights_out:
+            wsc_ref = refs[n_layers]      # output [T, R]: raw weights
+            out_ref = refs[n_layers + 1]  # output [Q, R]: next bins
+        else:
+            out_ref = refs[n_layers]      # output [Q, R]
+            wsc_ref = refs[n_layers + 1]  # VMEM scratch [T, R]: w + 0.01
+        floor = 0.0 if weights_out else 0.01
 
         o = o_ref[:].astype(jnp.float32)
         dd = d_ref[:].astype(jnp.float32)
@@ -180,7 +191,7 @@ def _make_prop_sample_kernel(T: int, Q: int, G: int, n_layers: int,
         R = o.shape[1]
 
         # pass 1: the prop level itself (identical to _make_prop_kernel),
-        # floored weights to scratch + running total
+        # weights to the staging buffer + running floored total
         trans = jnp.ones((1, R), jnp.float32)
         total = jnp.zeros((1, R), jnp.float32)
         for gi in range(T // G):
@@ -195,9 +206,9 @@ def _make_prop_sample_kernel(T: int, Q: int, G: int, n_layers: int,
                     e = jnp.zeros((1, R), jnp.float32)
                 else:
                     e = jnp.exp(-d_sl[g] * sigma[:, sl])
-                w = (1.0 - e) * trans + 0.01
+                w = (1.0 - e) * trans + floor
                 wsc_ref[s:s + 1, :] = w
-                total = total + w
+                total = total + w + (0.01 - floor)
                 trans = trans * e
 
         # pass 2: inverse-CDF lookup on the raw cumsum (ops/ray.py
@@ -219,7 +230,8 @@ def _make_prop_sample_kernel(T: int, Q: int, G: int, n_layers: int,
             c_g1 = jnp.minimum(c_g1, jnp.where(le, pos, c))
             s_g1 = jnp.minimum(s_g1, jnp.where(le, pos, sb))
             if ei < T:
-                c = jnp.minimum(c + wsc_ref[ei:ei + 1, :], total)
+                c = jnp.minimum(
+                    c + wsc_ref[ei:ei + 1, :] + (0.01 - floor), total)
         c_g1 = jnp.minimum(c_g1, c)         # empty suffix -> last entry
         s_g1 = jnp.minimum(s_g1, sbins_ref[T:T + 1, :])
 
@@ -284,6 +296,95 @@ def fused_prop_level_sample(rays_o, rays_d, real_bins, s_bins, u,
         scratch_shapes=[pltpu.VMEM((T, R_TILE), jnp.float32)],
     )(Pf, ot, dt, bt, st, utq, *wts)
     return out.T[:N]
+
+
+def _prop_level_sample_train_impl(rays_o, rays_d, real_bins, s_bins, u,
+                                  ws, freq_degree, grid_bound,
+                                  opaque_last, density_bias):
+    """Training twin of fused_prop_level_sample: emits (weights [N, T],
+    next s-bins [N, Q]) — the weights feed the interlevel proposal loss,
+    so they stay a kernel output here."""
+    N = rays_o.shape[0]
+    T = real_bins.shape[1] - 1
+    Q = u.shape[1]
+    n_layers = len(ws)
+    G = _pick_group(T, GROUP_FWD_PROP)
+    pad = (-N) % R_TILE
+    ot = jnp.pad(rays_o, ((0, pad), (0, 0))).T
+    dt = jnp.pad(rays_d, ((0, pad), (0, 0))).T
+    bt = jnp.pad(real_bins, ((0, pad), (0, 0)), constant_values=1.0).T
+    st = jnp.pad(s_bins, ((0, pad), (0, 0)), constant_values=1.0).T
+    utq = jnp.pad(u, ((0, pad), (0, 0)), constant_values=0.5).T
+    Np = ot.shape[1]
+
+    Pf = jnp.asarray(_freq_rows_matrix(3, freq_degree))
+    wts = [w.T for w in ws]
+    kernel = _make_prop_sample_kernel(T, Q, G, n_layers, freq_degree,
+                                      grid_bound, opaque_last, density_bias,
+                                      jnp.bfloat16, weights_out=True)
+    wout, nxt = pl.pallas_call(
+        kernel,
+        interpret=INTERPRET,
+        grid=(Np // R_TILE,),
+        in_specs=[
+            pl.BlockSpec(Pf.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, R_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T + 1, R_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T + 1, R_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, R_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for w in wts
+        ],
+        out_specs=(
+            pl.BlockSpec((T, R_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, R_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Q, Np), jnp.float32),
+        ),
+    )(Pf, ot, dt, bt, st, utq, *wts)
+    return wout.T[:N], nxt.T[:N]
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def prop_level_train_sample(static, rays_o, rays_d, real_bins, s_bins, u,
+                            *ws):
+    """Differentiable fused proposal level WITH in-kernel inverse-CDF
+    resampling.  static = (freq_degree, grid_bound, opaque_last,
+    density_bias).  Returns (weights [N, T], next s-bins [N, Q]); grads
+    flow to ws through the weights only — the resampled bins are
+    stop-gradient by construction (the reference detaches sample_pdf,
+    nerf/renderer.py:273)."""
+    freq_degree, grid_bound, opaque_last, db = static
+    return _prop_level_sample_train_impl(
+        rays_o, rays_d, real_bins, s_bins, u, list(ws), freq_degree,
+        grid_bound, opaque_last, db)
+
+
+def _prop_train_sample_fwd(static, rays_o, rays_d, real_bins, s_bins, u,
+                           *ws):
+    freq_degree, grid_bound, opaque_last, db = static
+    out = _prop_level_sample_train_impl(
+        rays_o, rays_d, real_bins, s_bins, u, list(ws), freq_degree,
+        grid_bound, opaque_last, db)
+    return out, (rays_o, rays_d, real_bins, s_bins, u, ws)
+
+
+def _prop_train_sample_bwd(static, res, g):
+    g_w, _ = g  # cotangent for the resampled bins is discarded (detached)
+    rays_o, rays_d, real_bins, s_bins, u, ws = res
+    zeros = _prop_train_bwd(static, (rays_o, rays_d, real_bins, ws), g_w)
+    # insert zero grads for s_bins and u between real_bins and ws
+    return (zeros[0], zeros[1], zeros[2], jnp.zeros_like(s_bins),
+            jnp.zeros_like(u)) + zeros[3:]
 
 
 # ---------------------------------------------------------------------------
@@ -731,9 +832,6 @@ def _pad_t(x, pad, cv=0.0):
     return jnp.pad(x, ((0, pad), (0, 0)), constant_values=cv).T
 
 
-from functools import partial as _partial
-
-
 def _parse_static(static):
     """(freq_degree, skip_layer, grid_bound, opaque_last, density_bias
     [, cp_rank, cp_res]) — the 5-tuple form is the cp_rank=0 flagship."""
@@ -933,3 +1031,6 @@ def _prop_train_bwd(static, res, g_w):
 
 
 prop_level_train.defvjp(_prop_train_fwd, _prop_train_bwd)
+# registered down here: the bwd delegates to _prop_train_bwd above
+prop_level_train_sample.defvjp(_prop_train_sample_fwd,
+                               _prop_train_sample_bwd)

@@ -187,9 +187,23 @@ def render_rays(
             all_weights.append(weights)
             break
         if fused_train and level < n_levels - 1:
-            weights = grad_gate(field.fused_prop_weights_train(
-                rays_o, rays_d, real_bins, proposal=level,
-                opaque_last=opaque))
+            # training twin of the folded prop level: weights come back
+            # for the interlevel proposal loss; the next level's s-space
+            # bins come straight out of VMEM (detached, like the
+            # reference's sample_pdf .detach())
+            Tn = settings.num_steps[level + 1] + 1
+            u = jnp.linspace(0.5 / Tn, 1.0 - 0.5 / Tn, Tn,
+                             dtype=jnp.float32)
+            u = jnp.broadcast_to(u, (N, Tn))
+            if settings.perturb and keys[level + 1] is not None:
+                u = u + (
+                    jax.random.uniform(keys[level + 1], (N, Tn)) - 0.5
+                ) / Tn
+            weights, nb = field.fused_prop_weights_train_sample(
+                rays_o, rays_d, real_bins, bins, u, proposal=level,
+                opaque_last=opaque)
+            weights = grad_gate(weights)
+            bins_folded = jax.lax.stop_gradient(nb)
             all_bins.append(bins)
             all_weights.append(weights)
             continue

@@ -198,6 +198,65 @@ def test_prop_level_folded_sample_pdf(rays):
     assert float(jnp.max(jnp.abs(got - want))) < 5e-3
 
 
+def test_prop_level_train_sample_fwd_and_vjp(rays):
+    """Training twin of the fold: (weights, next_bins) must match
+    (prop_level_train, ops/ray.sample_pdf), weight-grads must match the
+    unfused train kernel's, and no grad may flow into s_bins/u (the
+    resampled bins are detached by construction)."""
+    ro, rd, bins, _ = rays
+    rng = np.random.default_rng(5)
+    ws = tuple(jnp.asarray(rng.normal(size=s) * 0.3, jnp.float32)
+               for s in [(39, 64), (64, 64), (64, 1)])
+    s_bins = jnp.asarray(
+        np.sort(rng.uniform(0.0, 1.0, (N, T + 1)), axis=1), jnp.float32)
+    Q = 9
+    u = jnp.broadcast_to(
+        jnp.linspace(0.5 / Q, 1.0 - 0.5 / Q, Q, dtype=jnp.float32), (N, Q))
+
+    w_got, nb_got = rlp.prop_level_train_sample(
+        STATIC_P, ro, rd, bins, s_bins, u, *ws)
+    w_ref = rlp.prop_level_train(STATIC_P, ro, rd, bins, *ws)
+    assert _rel(w_got, w_ref) < 1e-5  # same kernel math, raw weights out
+
+    # reference resampling on the reference weights (XLA sample_pdf math)
+    wf = w_ref + 0.01
+    pdf = wf / jnp.sum(wf, axis=-1, keepdims=True)
+    cdf = jnp.minimum(jnp.cumsum(pdf, axis=-1), 1.0)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+    le = cdf[:, None, :] <= u[:, :, None]
+    neg, pos = jnp.float32(-1e38), jnp.float32(1e38)
+    cdf_g0 = jnp.max(jnp.where(le, cdf[:, None, :], neg), axis=-1)
+    bins_g0 = jnp.max(jnp.where(le, s_bins[:, None, :], neg), axis=-1)
+    cdf_g1 = jnp.minimum(
+        jnp.min(jnp.where(le, pos, cdf[:, None, :]), axis=-1), cdf[:, -1:])
+    bins_g1 = jnp.minimum(
+        jnp.min(jnp.where(le, pos, s_bins[:, None, :]), axis=-1),
+        s_bins[:, -1:])
+    denom = cdf_g1 - cdf_g0
+    t = jnp.where(denom > 0, (u - cdf_g0) / jnp.where(denom > 0, denom, 1.0),
+                  0.0)
+    nb_ref = bins_g0 + jnp.clip(t, 0.0, 1.0) * (bins_g1 - bins_g0)
+    assert float(jnp.max(jnp.abs(nb_got - nb_ref))) < 5e-3
+
+    def loss_fused(w_):
+        w, _ = rlp.prop_level_train_sample(STATIC_P, ro, rd, bins, s_bins,
+                                           u, *w_)
+        return jnp.sum(w ** 2)
+
+    gk = jax.grad(loss_fused)(ws)
+    gr = jax.grad(lambda w_: jnp.sum(rlp.prop_level_train(
+        STATIC_P, ro, rd, bins, *w_) ** 2))(ws)
+    for i, (a, b) in enumerate(zip(gk, gr)):
+        assert _rel(a, b) < 1e-5, f"train-sample dW{i}"
+
+    g_sb, g_u = jax.grad(
+        lambda sb, uu: jnp.sum(jnp.stack(rlp.prop_level_train_sample(
+            STATIC_P, ro, rd, bins, sb, uu, *ws)[0]) ** 2),
+        argnums=(0, 1))(s_bins, u)
+    assert float(jnp.abs(g_sb).max()) == 0.0
+    assert float(jnp.abs(g_u).max()) == 0.0
+
+
 def test_grads_do_not_flow_to_rays_or_bins(rays):
     ro, rd, bins, sh = rays
     rng = np.random.default_rng(3)
