@@ -227,7 +227,11 @@ def render_bench():
 def main():
     mode = os.environ.get("BENCH_MODE", "all")
     field_type = os.environ.get("BENCH_FIELD", "mlp")
-    record = {}
+    import jax
+
+    # a tunnel outage silently falls back to CPU; stamp the platform so a
+    # CPU run can never masquerade as a TPU number in BENCH_r*.json
+    record = {"platform": jax.devices()[0].platform}
     if mode in ("all", "render"):
         record.update(render_bench())
     if mode in ("all", "train"):
