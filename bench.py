@@ -13,8 +13,8 @@ Prints ONE JSON line.  The headline fields are
 2 Mrays/sec/chip north star); the same line also carries the training
 rate ("train_steps_per_sec", "train_rays", "train_mrays_per_sec") and the
 fused-megakernel gradient-parity verdict ("grad_parity": "pass"/"fail",
-max rel grad diff Pallas-vs-XLA autodiff — Mosaic divergence from the
-interpret-mode CI oracle is caught here, per round).
+worst per-leaf relative-L2 grad diff Pallas-vs-XLA autodiff — Mosaic
+divergence from the interpret-mode CI oracle is caught here, per round).
 
 Env knobs: BENCH_FIELD=hashgrid|hashgrid_packed|mlp (default mlp),
 BENCH_RAYS, BENCH_ITERS, BENCH_MODE=all|render|train|parity,
@@ -152,16 +152,20 @@ def parity_check():
             for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_r)):
                 a = np.asarray(a, np.float64)
                 b = np.asarray(b, np.float64)
-                if np.abs(b).max() <= 1e-9:
+                nb = np.linalg.norm(b)
+                if nb <= 1e-9:
                     continue
-                worst = max(worst,
-                            np.abs(a - b).max() / (np.abs(b).max() + 1e-12))
+                worst = max(worst, np.linalg.norm(a - b) / nb)
     finally:
         fm.PALLAS_ENABLED = prev
-    # 5% relative max-diff budget: bf16 compute inside the kernels vs
-    # fp32 XLA
-    return {"grad_parity": "pass" if worst <= 0.05 else "fail",
-            "grad_parity_rel_maxdiff": round(float(worst), 5)}
+    # Per-leaf relative-L2 with a 10% budget.  Calibration (v5e, CP-64
+    # flagship): the bf16-default-matmul noise floor is ~3.3% relL2 —
+    # the *pure-XLA* path is itself 12.8% max-elementwise from a
+    # float32-precision oracle on the smallest view-MLP leaf, so a
+    # max-elementwise metric is noise-dominated, while a genuine Mosaic
+    # lowering bug (dropped term, wrong sign/indexing) lands at O(1) relL2.
+    return {"grad_parity": "pass" if worst <= 0.10 else "fail",
+            "grad_parity_rel_l2": round(float(worst), 5)}
 
 
 def render_bench():

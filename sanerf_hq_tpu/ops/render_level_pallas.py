@@ -46,6 +46,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 R_TILE = 2048          # rays per grid step (proposal kernel)
+# v5e has 128 MiB VMEM; the 16 MiB scoped default OOMs the training
+# backward (weight-grad accumulators + activation stash + CP bases).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 GROUP_FWD_PROP = 8     # samples per matmul pass in the proposal kernel
                        # (G*R = 16384 lanes; 4096x8 blows scoped vmem)
 INTERPRET = False    # run kernels in interpret mode (CPU debug/tests)
@@ -132,6 +135,7 @@ def fused_prop_level(rays_o, rays_d, real_bins, ws: Sequence,
     wout = pl.pallas_call(
         kernel,
         interpret=INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
         grid=grid,
         in_specs=[
             pl.BlockSpec(Pf.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -275,6 +279,7 @@ def fused_prop_level_sample(rays_o, rays_d, real_bins, s_bins, u,
     out = pl.pallas_call(
         kernel,
         interpret=INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
         grid=grid,
         in_specs=[
             pl.BlockSpec(Pf.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -325,6 +330,7 @@ def _prop_level_sample_train_impl(rays_o, rays_d, real_bins, s_bins, u,
     wout, nxt = pl.pallas_call(
         kernel,
         interpret=INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
         grid=(Np // R_TILE,),
         in_specs=[
             pl.BlockSpec(Pf.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -480,14 +486,14 @@ def _cp_extra(xn, cb_vals, cp_res: int, keep_las: bool = False):
     g = None
     las = []
     for a in range(3):
-        ia = i0[a:a + 1, :]
+        ia = i0[a:a + 1, :].astype(jnp.int32)
         fa = f[a:a + 1, :]
         la = None
         for c0 in range(0, S, cs):
-            iota = jax.lax.broadcasted_iota(
-                jnp.float32, (cs, L), 0) + float(c0)
+            # Mosaic requires integer iota results; compare in int space.
+            iota = jax.lax.broadcasted_iota(jnp.int32, (cs, L), 0) + c0
             W = (jnp.where(iota == ia, 1.0 - fa, 0.0)
-                 + jnp.where(iota == ia + 1.0, fa, 0.0))
+                 + jnp.where(iota == ia + 1, fa, 0.0))
             part = jnp.dot(cb_vals[a][:, c0:c0 + cs], W,
                            preferred_element_type=jnp.float32)
             la = part if la is None else la + part
@@ -507,13 +513,12 @@ def _cp_bwd_accum(xn, d_las, dcb_refs, cp_res: int):
     i0 = jnp.clip(jnp.floor(p), 0.0, S - 2.0)
     f = p - i0
     for a in range(3):
-        ia = i0[a:a + 1, :]
+        ia = i0[a:a + 1, :].astype(jnp.int32)
         fa = f[a:a + 1, :]
         for c0 in range(0, S, cs):
-            iota = jax.lax.broadcasted_iota(
-                jnp.float32, (cs, L), 0) + float(c0)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (cs, L), 0) + c0
             W = (jnp.where(iota == ia, 1.0 - fa, 0.0)
-                 + jnp.where(iota == ia + 1.0, fa, 0.0))
+                 + jnp.where(iota == ia + 1, fa, 0.0))
             dcb_refs[a][:, c0:c0 + cs] += jax.lax.dot_general(
                 d_las[a], W, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -887,6 +892,7 @@ def _final_train_fwd_impl(static, rays_o, rays_d, real_bins, sh, params):
     f_img, depth, wsum, w_out = pl.pallas_call(
         kernel,
         interpret=INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
         grid=(Np // r_tile,),
         in_specs=[_const_spec(Pf.shape)]
         + [_row_spec(r, r_tile) for r in (3, 3, T + 1, sh.shape[1])]
@@ -952,6 +958,7 @@ def _final_train_bwd(static, res, g):
     douts = pl.pallas_call(
         kernel,
         interpret=INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
         grid=(Np // R_TILE_BWD_FINAL,),
         in_specs=in_specs,
         out_specs=tuple(_const_spec(w.shape) for w in wts)
@@ -1018,6 +1025,7 @@ def _prop_train_bwd(static, res, g_w):
     dwts = pl.pallas_call(
         kernel,
         interpret=INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
         grid=(Np // R_TILE_BWD,),
         in_specs=in_specs,
         out_specs=tuple(_const_spec(w.shape) for w in wts),

@@ -9,9 +9,13 @@ uses: image MSE + proposal + distortion + weights_sum + depth terms, with
 proposal updates both on and off (reference gating:
 /root/reference/nerf/trainer.py:372-373).
 
-Exit code 0 iff every param-leaf gradient matches within 5% relative
-max-diff (bf16 compute inside the kernels vs fp32 XLA).
+Exit code 0 iff every param-leaf gradient matches within 10% relative
+L2.  Calibration (v5e): bf16 default-matmul noise puts the pure-XLA path
+itself ~13% max-elementwise from a float32-precision oracle on the tiny
+view-MLP leaves, so elementwise max is noise-dominated; per-leaf relL2
+noise floor is ~3.3%, and a real Mosaic lowering bug lands at O(1).
 """
+import os
 import sys
 
 import numpy as np
@@ -24,7 +28,8 @@ from sanerf_hq_tpu.models import make_field
 import sanerf_hq_tpu.ops.fused_mlp as fm
 
 n = 512
-model = make_field("mlp", grid_bound=128.0)
+model = make_field("mlp", grid_bound=128.0,
+                   cp_rank=int(os.environ.get("BENCH_CP", 64)))
 params = model.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)), jnp.ones((4, 3)))
 rng = np.random.default_rng(0)
 o = rng.normal(size=(n, 3))
@@ -62,12 +67,12 @@ for upd in (True, False):
                             jax.tree.leaves(g_r)):
         a = np.asarray(a, np.float64)
         b = np.asarray(b, np.float64)
-        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
-        bad = rel > 0.05 and np.abs(b).max() > 1e-9
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+        bad = rel > 0.10 and np.linalg.norm(b) > 1e-9
         failed |= bad
         name = jax.tree_util.keystr(path)
         print(f"  {name:55s} |g_ref|max={np.abs(b).max():.3e} "
-              f"relmaxdiff={rel:.3e}{' <-- MISMATCH' if bad else ''}")
+              f"rel_l2={rel:.3e}{' <-- MISMATCH' if bad else ''}")
 
 print("FAIL" if failed else "PASS")
 sys.exit(1 if failed else 0)
