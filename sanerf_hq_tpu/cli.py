@@ -139,6 +139,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_gt_focal_length", action="store_true")
     p.add_argument("--val_type", type=str, default="default",
                    choices=["default", "val_all", "val_split"])
+    p.add_argument("--render_mesh", action="store_true")
     p.add_argument("--render_mask_type", type=str, default="heatmap",
                    choices=["mask", "composition", "heatmap"])
     p.add_argument("--render_mask_instance_id", type=int, default=0)
@@ -220,6 +221,14 @@ def load_init_params(path: str):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.render_mesh:
+        # Parity flag only: the reference's mesh-render branch is dead code
+        # (entire implementation commented out at nerf/renderer.py:257,
+        # :270-500; enabling it there leaves bins=None and crashes).  Fail
+        # fast with an explanation rather than replicate the breakage.
+        raise SystemExit(
+            "error: --render_mesh is not supported (the reference's mesh "
+            "branch is commented out / non-functional; see SURVEY.md §2.5)")
     cfg = config_from_args(args)
 
     # fail fast on inconsistent flag combos (before any model/SAM build)
