@@ -37,6 +37,32 @@ if _plat:
     jax.config.update("jax_platforms", _plat.lower())
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache for the CLI (same scheme as
+    tests/conftest.py): repeated stage invocations — the normal
+    multi-stage workflow, reference scripts/train_*.sh — re-trace the
+    same programs, and host-side compiles dominate startup on small
+    hosts.  Keyed by CPU feature set because XLA:CPU AOT artifacts are
+    machine-specific.  Opt out with SANERF_NO_COMPILE_CACHE=1."""
+    if os.environ.get("SANERF_NO_COMPILE_CACHE"):
+        return
+    import hashlib
+
+    import jax
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    mach = hashlib.sha1(flags.encode()).hexdigest()[:10]
+    jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cli_cache_{mach}")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+_enable_compile_cache()
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("path", type=str)
