@@ -43,10 +43,19 @@ def _enable_compile_cache():
     multi-stage workflow, reference scripts/train_*.sh — re-trace the
     same programs, and host-side compiles dominate startup on small
     hosts.  Keyed by CPU feature set because XLA:CPU AOT artifacts are
-    machine-specific.  Opt out with SANERF_NO_COMPILE_CACHE=1."""
+    machine-specific.  Opt out with SANERF_NO_COMPILE_CACHE=1.
+
+    A user-provided JAX_COMPILATION_CACHE_DIR always wins (we must not
+    silently override it), and the default location is per-user with
+    0700 permissions: a predictable world-writable /tmp path could be
+    pre-created by another local user to squat or poison the cache of
+    compiled executables XLA loads into this process."""
     if os.environ.get("SANERF_NO_COMPILE_CACHE"):
         return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # user already configured a cache location
     import hashlib
+    import stat
 
     import jax
 
@@ -56,7 +65,18 @@ def _enable_compile_cache():
     except OSError:
         flags = ""
     mach = hashlib.sha1(flags.encode()).hexdigest()[:10]
-    jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cli_cache_{mach}")
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    cache_dir = os.path.join(base, f"sanerf_jax_cache_{mach}_{os.getuid()}")
+    try:
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        st = os.stat(cache_dir)
+        if st.st_uid != os.getuid():
+            return  # someone else owns the path: do not use it
+        os.chmod(cache_dir, stat.S_IRWXU)
+    except OSError:
+        return
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
@@ -83,7 +103,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="./pretrained/sam_vit_h_4b8939.pth")
     p.add_argument("--online_resolution", type=int, default=512)
     p.add_argument("--sam_use_view_direction", action="store_true")
-    p.add_argument("--sum_after_mlp", action="store_true")
+    p.add_argument("--sum_after_mlp", action="store_true",
+                   help="surface parity only: dead in the reference too "
+                        "(parsed at main.py:36; only read inside the commented-out mesh branch, nerf/renderer.py:472)")
     p.add_argument("--cache_size", type=int, default=256)
     p.add_argument("--cache_interval", type=int, default=4)
     p.add_argument("--feature_container", type=str, default="cache",
@@ -109,7 +131,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--enable_cam_near_far", action="store_true")
     p.add_argument("--enable_cam_center", action="store_true")
     p.add_argument("--min_near", type=float, default=0.2)
-    p.add_argument("--T_thresh", type=float, default=1e-4)
+    p.add_argument("--T_thresh", type=float, default=1e-4,
+                   help="surface parity only: dead in the reference too "
+                        "(only read by the commented-out mesh branch, "
+                        "nerf/renderer.py:386-498)")
 
     # training
     p.add_argument("--iters", type=int, default=20000)
@@ -119,7 +144,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--background", type=str, default="last_sample",
                    choices=["white", "random", "last_sample"])
     p.add_argument("--max_ray_batch", type=int, default=4096 * 4)
-    p.add_argument("--density_thresh", type=float, default=10)
+    p.add_argument("--density_thresh", type=float, default=10,
+                   help="surface parity only: dead in the reference too "
+                        "(a torch-ngp occupancy-grid leftover; no "
+                        "raymarching extension exists, SURVEY.md intro)")
     p.add_argument("--num_rays", type=int, default=4096)
     p.add_argument("--adaptive_num_rays", action="store_true")
     p.add_argument("--num_points", type=int, default=2 ** 18)
@@ -139,7 +167,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test_view_path", type=str, default=None)
     p.add_argument("--n_inst", type=int, default=2)
     p.add_argument("--label_regularization_weight", type=float, default=0.0)
-    p.add_argument("--ray_jittering", action="store_true")
+    p.add_argument("--ray_jittering", action="store_true",
+                   help="surface parity only: dead in the reference too "
+                        "(parsed at main.py:128, never read)")
 
     # ray-pair RGB loss
     p.add_argument("--ray_pair_rgb_loss_weight", type=float, default=0)
@@ -162,7 +192,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_point", action="store_true")
     p.add_argument("--use_default_intrinsics", action="store_true")
     p.add_argument("--use_default_focal_length", action="store_true")
-    p.add_argument("--use_gt_focal_length", action="store_true")
+    p.add_argument("--use_gt_focal_length", action="store_true",
+                   help="surface parity only: dead in the reference too "
+                        "(parsed at main.py:172, never read)")
     p.add_argument("--val_type", type=str, default="default",
                    choices=["default", "val_all", "val_split"])
     p.add_argument("--render_mesh", action="store_true")
@@ -202,6 +234,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="CP-factorized spatial feature rank for the mlp "
                         "flagship field (0 = pure freq-MLP)")
     p.add_argument("--cp_res", type=int, default=256)
+    p.add_argument("--feat_rep", type=str, default="cp",
+                   choices=["cp", "hashgrid"],
+                   help="s_grid/m_grid representation for the mlp flagship: "
+                        "CP volumes (matmul-bound, TPU-native) or the "
+                        "reference-like hash volume")
+    p.add_argument("--feat_rank", type=int, default=128)
+    p.add_argument("--feat_res", type=int, default=256)
     p.add_argument("--density_bias", type=float, default=0.0,
                    help="initial density shift: sigma = exp(raw + bias) "
                         "(mlp field)")
@@ -285,12 +324,26 @@ def main(argv=None):
         cp_rank=cfg.cp_rank,
         cp_res=cfg.cp_res,
         density_bias=cfg.density_bias,
+        feat_rep=cfg.feat_rep,
+        feat_rank=cfg.feat_rank,
+        feat_res=cfg.feat_res,
     )
 
     scene = load_scene(
         cfg.path, cfg.data_type, cfg.downscale, cfg.scale, cfg.offset,
         cfg.enable_cam_center, cfg.bound,
     )
+
+    if cfg.vis_pose:
+        # pose debugging dump (reference: provider.py:761 -> an interactive
+        # trimesh window; headless here -> PLY + PNG in the workspace)
+        from .utils.vis_pose import visualize_poses
+
+        os.makedirs(cfg.workspace, exist_ok=True)
+        ply = visualize_poses(
+            scene.poses, bound=cfg.bound, points=scene.pts3d,
+            out_path=os.path.join(cfg.workspace, "poses.ply"))
+        print(f"[INFO] pose visualization written to {ply}(.png)")
 
     test_view_names = None
     if cfg.test_view_path:
@@ -345,11 +398,12 @@ def main(argv=None):
 
     n = scene.poses.shape[0]
     train_idx = split_indices(n, cfg.train_split, cfg.val_type,
-                              test_view_names, scene.img_names)
+                              test_view_names, scene.img_names,
+                              auto_seg=cfg.auto_seg)
     val_type = ("val_all" if cfg.with_sam and cfg.feature_container == "cache"
                 else cfg.val_type)
     val_idx = split_indices(n, cfg.test_split, val_type, test_view_names,
-                            scene.img_names)
+                            scene.img_names, auto_seg=cfg.auto_seg)
     if mask_valid_idx is not None and not cfg.test:
         # stage-3 trains only on the valid-mask view subset (provider.py:723-737)
         train_idx = np.array([i for i in train_idx if i in set(mask_valid_idx)])
@@ -402,7 +456,8 @@ def main(argv=None):
             trainer, scene=None if cfg.test else train_scene,
             W=cfg.W, H=cfg.H, fovy=cfg.fovy, radius=cfg.radius)
         serve(sess, points_path=os.path.join(cfg.workspace,
-                                             "picked_points.json"))
+                                             "picked_points.json"),
+              right_drag_pan=cfg.gui_mouse_right_drag)
         return trainer
 
     if cfg.test:
@@ -413,13 +468,19 @@ def main(argv=None):
             stages.decode(trainer, val_scene, sam_predictor, prompts,
                           feature_container=cfg.feature_container)
         elif cfg.with_mask:
+            # evaluate_masks always saves {stem}_mask.npy probabilities —
+            # a superset of --return_extra's mask branch
+            # (nerf/trainer.py:1157-1160)
             stages.evaluate_masks(
                 trainer, val_scene,
                 save_dir=os.path.join(cfg.workspace, "results"),
                 render_mask_type=cfg.render_mask_type,
             )
         else:
-            trainer.test(val_scene, write_video=False)
+            # --return_extra (nerf/trainer.py:886): with_sam test runs also
+            # save the rendered 64x64 feature map per view
+            extra = "sam" if (cfg.return_extra and cfg.with_sam) else None
+            trainer.test(val_scene, write_video=False, extra=extra)
         return trainer
 
     # train

@@ -136,6 +136,8 @@ class Config:
     radius: float = 0.5
     fovy: float = 60.0
     max_spp: int = 1
+    gui_mouse_right_drag: bool = False  # right-drag rotates around center
+    vis_pose: bool = False  # dump a camera-pose visualization and continue
 
     # trajectory
     trajectory_root: Optional[str] = None
@@ -154,6 +156,13 @@ class Config:
     cp_rank: int = 64
     cp_res: int = 256
     density_bias: float = 0.0
+    # feature-container representation for the mlp flagship's s_grid/m_grid:
+    # 'cp' (rank-R CP volumes + projection — matmul-bound on TPU, the
+    # shipping default) or 'hashgrid' (reference-like trained hash volume,
+    # gather/scatter-bound; see models/mlp_field.py feat_rep docstring)
+    feat_rep: str = "cp"
+    feat_rank: int = 128
+    feat_res: int = 256
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel mesh over all devices
     mesh_axis_names: Tuple[str, ...] = ("data",)
     param_dtype: str = "float32"

@@ -42,6 +42,7 @@ class Scene:
     pts_aabb: Optional[np.ndarray] = None  # [6]
     scale: float = 1.0
     transforms: Optional[dict] = None  # center/R used by center_poses
+    pts3d: Optional[np.ndarray] = None  # [P, 3] sparse points (colmap)
 
 
 def _normalize(v):
@@ -323,7 +324,8 @@ def _load_colmap(root, downscale, scale, enable_cam_center, bound, load_images):
 
     images = _stack_images(list(img_paths), H, W) if load_images else None
     return Scene(images, poses.astype(np.float32), intrinsics, H, W,
-                 img_names, cam_near_far, None, pts_aabb, scale, transforms)
+                 img_names, cam_near_far, None, pts_aabb, scale, transforms,
+                 pts3d=pts3d.astype(np.float32))
 
 
 def _sparse_depth_near_far(imdata, imkeys, ptsdata, ptskeys, poses, pts3d,
@@ -381,13 +383,21 @@ def _stack_images(paths, H, W):
 # ---------------------------------------------------------------------------
 
 def split_indices(n_views: int, split: str, val_type: str = "default",
-                  test_view_names=None, img_names=None):
+                  test_view_names=None, img_names=None,
+                  auto_seg: bool = False):
     """Reference split logic (provider.py:611-664):
       train: default -> all but every 8th held out is NOT used; the reference
       uses slicing: train = indices not in val; val default = every 8th? It
       actually uses [::8] for val in 'default' mode via val_type.
+
+    auto_seg overrides both (provider.py:636-644): val = the first 100
+    views (hard-coded in the reference), train = ALL views.
     """
     all_idx = np.arange(n_views)
+    if auto_seg:
+        if split in ("train", "all", "trainval"):
+            return all_idx
+        return all_idx[:100]
     if val_type == "val_all":
         return all_idx if split != "train" else all_idx
     if val_type == "val_split" and test_view_names is not None and img_names is not None:

@@ -22,8 +22,17 @@ import jax.numpy as jnp
 
 
 def dirs_from_pixels(x, y, intrinsics):
-    """x, y: [...] pixel-center coords; intrinsics: [4] (fx, fy, cx, cy)."""
-    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    """x, y: [...] pixel-center coords; intrinsics: [4] (fx, fy, cx, cy)
+    shared, or [..., 4] per-ray (heterogeneous cameras, e.g. COLMAP scenes
+    with several camera models — reference collate carries per-view
+    intrinsics, nerf/provider.py:918)."""
+    intrinsics = jnp.asarray(intrinsics)
+    if intrinsics.ndim == 1:
+        fx, fy, cx, cy = (intrinsics[0], intrinsics[1], intrinsics[2],
+                          intrinsics[3])
+    else:
+        fx, fy, cx, cy = (intrinsics[..., 0], intrinsics[..., 1],
+                          intrinsics[..., 2], intrinsics[..., 3])
     xs = (x - cx) / fx
     ys = -(y - cy) / fy  # y flipped
     zs = -jnp.ones_like(xs)  # z flipped

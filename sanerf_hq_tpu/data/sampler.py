@@ -22,13 +22,18 @@ from .rays import (
 
 
 def sample_rgb_batch(key, images, poses, intrinsics, n_rays: int,
-                     random_image_batch: bool = True):
-    """images: [V, H, W, C], poses: [V, 4, 4], intrinsics: [4].
-    Returns dict(rays_o, rays_d, gt_rgb) each [n_rays, ...].
+                     random_image_batch: bool = True,
+                     cam_near_far=None):
+    """images: [V, H, W, C], poses: [V, 4, 4], intrinsics: [4] shared or
+    [V, 4] per-view.  Returns dict(rays_o, rays_d, gt_rgb) each
+    [n_rays, ...], plus cam_near_far [n_rays, 2] when given [V, 2].
 
     random_image_batch=True samples every ray from a random view
     (main.py flag; nerf/provider.py:899-913); False uses a single random
-    view per step."""
+    view per step.  Per-view intrinsics and sparse-depth near/far follow
+    the reference collate, which carries both per selected view
+    (nerf/provider.py:918, :1060-1063 -> consumed at
+    nerf/renderer.py:231-234)."""
     V, H, W = images.shape[0], images.shape[1], images.shape[2]
     kimg, kpix = jax.random.split(key)
     if random_image_batch:
@@ -38,10 +43,15 @@ def sample_rgb_batch(key, images, poses, intrinsics, n_rays: int,
     pix_inds, x, y = sample_random_pixels(kpix, H, W, n_rays)
     rows = pix_inds // W
     cols = pix_inds % W
-    rays_o, rays_d = rays_from_pixels(poses[img_inds], intrinsics, x, y)
+    intrinsics = jnp.asarray(intrinsics)
+    intr = intrinsics[img_inds] if intrinsics.ndim == 2 else intrinsics
+    rays_o, rays_d = rays_from_pixels(poses[img_inds], intr, x, y)
     gt = images[img_inds, rows, cols]
-    return {"rays_o": rays_o, "rays_d": rays_d, "gt_rgb": gt,
-            "img_inds": img_inds, "pix_inds": pix_inds}
+    batch = {"rays_o": rays_o, "rays_d": rays_d, "gt_rgb": gt,
+             "img_inds": img_inds, "pix_inds": pix_inds}
+    if cam_near_far is not None:
+        batch["cam_near_far"] = jnp.asarray(cam_near_far)[img_inds]
+    return batch
 
 
 def sample_mask_batch(key, masks, poses, intrinsics, error_map, n_rays: int,

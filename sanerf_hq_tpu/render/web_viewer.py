@@ -53,7 +53,10 @@ _PAGE = """<!doctype html>
 <canvas id="cv" width="{W}" height="{H}"></canvas>
 <script>
 const cv=document.getElementById('cv'),ctx=cv.getContext('2d');
-let busy=false,drag=false,lx=0,ly=0,neg=false,training=false;
+// --gui_mouse_right_drag (nerf/gui.py:444-452): right-drag pans (moves the
+// camera center) and right-click point-select is disabled
+const RIGHT_DRAG_PAN={RDP};
+let busy=false,drag=false,rdrag=false,lx=0,ly=0,neg=false,training=false;
 async function post(p,b){return fetch(p,{method:'POST',
   headers:{'Content-Type':'application/json'},body:JSON.stringify(b||{})});}
 async function frame(){
@@ -73,13 +76,16 @@ async function frame(){
  }finally{busy=false;}
 }
 setInterval(frame,120);
-cv.onmousedown=e=>{if(e.button===0){drag=true;lx=e.clientX;ly=e.clientY;}};
-window.onmouseup=()=>drag=false;
-window.onmousemove=e=>{if(!drag)return;
+cv.onmousedown=e=>{
+ if(e.button===0){drag=true;lx=e.clientX;ly=e.clientY;}
+ else if(e.button===2&&RIGHT_DRAG_PAN){rdrag=true;lx=e.clientX;ly=e.clientY;}};
+window.onmouseup=()=>{drag=false;rdrag=false;};
+window.onmousemove=e=>{if(!drag&&!rdrag)return;
  const dx=e.clientX-lx,dy=e.clientY-ly;lx=e.clientX;ly=e.clientY;
- post(e.shiftKey?'/pan':'/orbit',{dx:dx,dy:dy});};
+ post((rdrag||e.shiftKey)?'/pan':'/orbit',{dx:dx,dy:dy});};
 cv.onwheel=e=>{e.preventDefault();post('/scale',{delta:e.deltaY>0?-1:1});};
 cv.oncontextmenu=e=>{e.preventDefault();
+ if(RIGHT_DRAG_PAN)return; // point-select disabled (nerf/gui.py:448-452)
  const r=cv.getBoundingClientRect();
  post('/click',{x:(e.clientX-r.left)/cv.width,y:(e.clientY-r.top)/cv.height,
                 label:neg?0:1});};
@@ -99,9 +105,11 @@ function setCrop(f){ // symmetric AABB crop at fraction f of the bound
 
 
 class ViewerState:
-    def __init__(self, session, points_path: str):
+    def __init__(self, session, points_path: str,
+                 right_drag_pan: bool = False):
         self.session = session
         self.points_path = points_path
+        self.right_drag_pan = right_drag_pan
         self.lock = threading.Lock()
         self.training = False
         self.last_train = {"loss": float("nan"), "step": 0}
@@ -158,7 +166,9 @@ def _make_handler(state: ViewerState):
             s = state.session
             if self.path == "/" or self.path.startswith("/index"):
                 page = (_PAGE.replace("{W}", str(s.camera.W))
-                        .replace("{H}", str(s.camera.H))).encode()
+                        .replace("{H}", str(s.camera.H))
+                        .replace("{RDP}", "true" if state.right_drag_pan
+                                 else "false")).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html")
                 self.send_header("Content-Length", str(len(page)))
@@ -261,10 +271,12 @@ def _make_handler(state: ViewerState):
 
 
 def serve(session, host: str = "127.0.0.1", port: int = 7860,
-          points_path: str = "picked_points.json", block: bool = True):
+          points_path: str = "picked_points.json", block: bool = True,
+          right_drag_pan: bool = False):
     """Start the viewer.  Returns (server, state); when block=False the
-    server runs on a daemon thread (used by tests / notebooks)."""
-    state = ViewerState(session, points_path)
+    server runs on a daemon thread (used by tests / notebooks).
+    right_drag_pan maps --gui_mouse_right_drag (nerf/gui.py:444-452)."""
+    state = ViewerState(session, points_path, right_drag_pan=right_drag_pan)
     server = ThreadingHTTPServer((host, port), _make_handler(state))
     print(f"[viewer] serving on http://{host}:{server.server_address[1]}")
     if block:

@@ -74,6 +74,17 @@ def evaluate_sam_features(trainer: Trainer, scene: Scene, sam_predictor,
         intr = np.asarray(scene.intrinsics[i] if scene.intrinsics.ndim == 2
                           else scene.intrinsics, np.float32)
         H, W = scene.H, scene.W
+        # stage-2 eval camera (nerf/provider.py:925-947): unless
+        # --use_default_intrinsics, evaluate at a square online_resolution
+        # camera — fixed fovy 60 by default, or the view's own focal
+        # length when --use_default_focal_length
+        if not cfg.use_default_intrinsics:
+            H = W = cfg.online_resolution
+            if cfg.use_default_focal_length:
+                focal = float(intr[0])
+            else:
+                focal = H / (2.0 * np.tan(0.5 * np.deg2rad(60.0)))
+            intr = np.array([focal, focal, H / 2, W / 2], np.float32)
         out = trainer.render_view(scene.poses[i], intr, H, W)
         rgb = (np.clip(out["image"].reshape(H, W, 3), 0, 1)
                * 255).astype(np.uint8)

@@ -154,9 +154,16 @@ class Trainer:
                 self._full_step = None
         images = jnp.asarray(scene.images)
         poses = jnp.asarray(scene.poses)
-        intr = jnp.asarray(
-            scene.intrinsics[0] if scene.intrinsics.ndim == 2 else scene.intrinsics
-        )
+        # per-view [V, 4] intrinsics are kept per-view: the sampler indexes
+        # them by img_inds so heterogeneous-camera COLMAP scenes train with
+        # each view's own focal (reference collate, nerf/provider.py:918)
+        intr = jnp.asarray(scene.intrinsics)
+        # sparse-depth per-view [near, far] tightens ray bounds during
+        # training when --enable_cam_near_far (nerf/provider.py:464-502
+        # consumed at nerf/renderer.py:231-234)
+        cnf = (jnp.asarray(scene.cam_near_far)
+               if cfg.enable_cam_near_far and scene.cam_near_far is not None
+               else None)
         n_views = scene.poses.shape[0]
         steps_per_epoch = n_views
         if max_epoch is None:
@@ -183,6 +190,7 @@ class Trainer:
                 batch = sample_rgb_batch(
                     kb, images, poses, intr, cfg.num_rays,
                     random_image_batch=cfg.random_image_batch,
+                    cam_near_far=cnf,
                 )
                 if mesh is not None:
                     batch = {
@@ -301,6 +309,25 @@ class Trainer:
                 self._eval_render_perturb = make_eval_render(
                     self.model, self.cfg, perturb=True)
             render = self._eval_render_perturb
+        elif len(jax.devices()) > 1:
+            # full-frame eval rays sharded over the data axis: each device
+            # renders its slice via the staged renderer inside a shard_map
+            # (parallel/evaluate.py; replaces the reference's dead
+            # all_gather eval, nerf/trainer.py:1577-1601)
+            if not hasattr(self, "_sharded_render"):
+                from ..parallel import make_mesh, make_sharded_render
+                from ..render.renderer import RenderSettings
+
+                cfg = self.cfg
+                mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+                settings = RenderSettings(
+                    num_steps=tuple(cfg.num_steps),
+                    use_contract=cfg.contract, min_near=cfg.min_near,
+                    background=cfg.background, bound=cfg.bound,
+                    max_ray_batch=cfg.max_ray_batch)
+                self._sharded_render = make_sharded_render(
+                    self.model, settings, mesh, cfg.mesh_axis_names[0])
+            render = self._sharded_render
         else:
             render = self.eval_render
         out = render(
@@ -339,9 +366,21 @@ class Trainer:
         return meters[0].measure() if meters else 0.0
 
     def test(self, scene: Scene, save_dir: Optional[str] = None,
-             write_video: bool = False):
+             write_video: bool = False, extra: Optional[str] = None):
+        """Render every pose and save rgb/depth artifacts.
+
+        extra='sam'|'mask' additionally saves the per-view extra output
+        (--return_extra, nerf/trainer.py:886 + 1136-1160): 'sam' renders
+        the 64x64 feature map from the feature field to {stem}_sam.npy;
+        'mask' renders full-res instance-mask probabilities to
+        {stem}_mask.npy."""
         save_dir = save_dir or os.path.join(self.workspace, "results")
         os.makedirs(save_dir, exist_ok=True)
+        extra_render = None
+        if extra in ("sam", "mask"):
+            extra_render = make_eval_render(
+                self.model, self.cfg, return_feats=(extra == "sam"),
+                return_mask=(extra == "mask"))
         frames = []
         for i in range(scene.poses.shape[0]):
             intr = (scene.intrinsics[i] if scene.intrinsics.ndim == 2
@@ -354,6 +393,21 @@ class Trainer:
             _save_image(os.path.join(save_dir, f"{stem}_rgb.png"), pred)
             np.save(os.path.join(save_dir, f"{stem}_depth.npy"),
                     out["depth"].reshape(scene.H, scene.W))
+            if extra == "sam":
+                # low-res feature rays, same camera (provider.py:1091-1106)
+                s = 64.0 / max(scene.H, scene.W)
+                ro, rd = full_frame_rays(jnp.asarray(scene.poses[i]),
+                                         jnp.asarray(intr) * s, 64, 64)
+                fo = extra_render(self.state.params, ro, rd)
+                np.save(os.path.join(save_dir, f"{stem}_sam.npy"),
+                        np.asarray(fo["samvit"]).reshape(64, 64, -1))
+            elif extra == "mask":
+                ro, rd = full_frame_rays(jnp.asarray(scene.poses[i]),
+                                         jnp.asarray(intr), scene.H, scene.W)
+                mo = extra_render(self.state.params, ro, rd)
+                logits = np.asarray(mo["instance_mask_logits"]).reshape(
+                    scene.H, scene.W, -1)
+                np.save(os.path.join(save_dir, f"{stem}_mask.npy"), logits)
             if write_video:
                 frames.append((pred * 255).astype(np.uint8))
         if write_video and frames:

@@ -192,6 +192,120 @@ def test_split_indices():
     assert 2 not in tr and 4 not in tr
 
 
+def test_sample_rgb_batch_per_view_intrinsics():
+    """Stage-1 training must use EACH view's own intrinsics and
+    sparse-depth near/far, not view 0's (reference collate carries both
+    per selected view: nerf/provider.py:918, :1060-1063).  Discriminates
+    against the old collapse-to-intrinsics[0] behavior."""
+    from sanerf_hq_tpu.data.sampler import sample_rgb_batch
+
+    rng = np.random.default_rng(0)
+    V, H, W, n = 2, 8, 8, 256
+    images = jnp.asarray(rng.uniform(size=(V, H, W, 3)), jnp.float32)
+    poses = jnp.asarray(np.stack([np.eye(4)] * V), jnp.float32)
+    # two very different focal lengths
+    intr = jnp.asarray([[100.0, 100.0, 4.0, 4.0],
+                        [10.0, 10.0, 4.0, 4.0]], jnp.float32)
+    cnf = jnp.asarray([[0.5, 2.0], [3.0, 9.0]], jnp.float32)
+    batch = sample_rgb_batch(jax.random.PRNGKey(0), images, poses, intr, n,
+                             cam_near_far=cnf)
+    ii = np.asarray(batch["img_inds"])
+    assert 0 < ii.sum() < n  # both views sampled
+    # recompute rays per-ray with the CORRECT view's intrinsics
+    pix = np.asarray(batch["pix_inds"])
+    x = (pix % W).astype(np.float32) + 0.5
+    y = (pix // W).astype(np.float32) + 0.5
+    ro, rd = rays_from_pixels(poses[ii], intr[ii], jnp.asarray(x),
+                              jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(batch["rays_d"]), np.asarray(rd),
+                               rtol=1e-6)
+    # a view-1 ray must NOT match what view-0 intrinsics would produce
+    j = int(np.argmax(ii == 1))
+    _, rd0 = rays_from_pixels(poses[:1].repeat(n, 0), intr[0],
+                              jnp.asarray(x), jnp.asarray(y))
+    assert not np.allclose(np.asarray(batch["rays_d"])[j],
+                           np.asarray(rd0)[j])
+    # per-ray near/far follow the sampled view
+    np.testing.assert_allclose(np.asarray(batch["cam_near_far"]),
+                               np.asarray(cnf)[ii])
+
+
+def test_enable_cam_near_far_changes_training_bounds():
+    """--enable_cam_near_far must tighten the TRAINING rays' near/far
+    (nerf/renderer.py:231-234), i.e. the rendered depth of an empty field
+    changes when per-view bounds are supplied."""
+    from sanerf_hq_tpu.ops.ray import near_far_from_aabb
+
+    ro = jnp.asarray([[0.0, 0.0, 5.0]])
+    rd = jnp.asarray([[0.0, 0.0, -1.0]])
+    aabb = jnp.asarray([-2, -2, -2, 2, 2, 2], jnp.float32)
+    n0, f0 = near_far_from_aabb(ro, rd, aabb, min_near=0.05)
+    cnf = jnp.asarray([[4.2, 6.0]])
+    n1 = jnp.maximum(n0.reshape(-1, 1), cnf[:, :1])
+    f1 = jnp.minimum(f0.reshape(-1, 1), cnf[:, 1:2])
+    assert float(n1[0, 0]) > float(n0.reshape(-1)[0])
+    assert float(f1[0, 0]) < float(f0.reshape(-1)[0])
+    # and the full train step accepts the batch key end-to-end
+    from sanerf_hq_tpu.config import Config
+    from sanerf_hq_tpu.data import make_synthetic_dataset
+    from sanerf_hq_tpu.data.sampler import sample_rgb_batch
+    from sanerf_hq_tpu.models import make_field
+    from sanerf_hq_tpu.train.state import create_train_state
+    from sanerf_hq_tpu.train.steps import make_rgb_train_step
+
+    cfg = Config(num_steps=(8, 4, 2), num_rays=32, iters=10, bound=4.0,
+                 min_near=0.05, enable_cam_near_far=True)
+    model = make_field("mlp", grid_bound=cfg.grid_bound, cp_rank=0,
+                       hidden=16, num_layers=2, prop_hidden=8, prop_layers=2)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                        jnp.ones((4, 3)))
+    state = create_train_state(params, cfg.lr, cfg.iters)
+    step = make_rgb_train_step(model, cfg, donate=False)
+    s = make_synthetic_dataset(n_views=2, H=8, W=8)
+    cnf = jnp.asarray([[0.5, 2.0], [3.0, 9.0]], jnp.float32)
+    batch = sample_rgb_batch(jax.random.PRNGKey(1),
+                             jnp.asarray(s["images"]),
+                             jnp.asarray(s["poses"]),
+                             jnp.asarray(s["intrinsics"]), cfg.num_rays,
+                             cam_near_far=cnf)
+    batch["step"] = state.step
+    _, m1 = step(state, batch, jax.random.PRNGKey(2))
+    batch2 = {k: v for k, v in batch.items() if k != "cam_near_far"}
+    _, m2 = step(state, batch2, jax.random.PRNGKey(2))
+    # tighter bounds change the sample placement, hence the loss
+    assert float(m1["loss"]) != float(m2["loss"])
+
+
+def test_split_indices_auto_seg():
+    """auto_seg overrides the split (provider.py:636-644): val = the
+    first 100 views, train = ALL views."""
+    tr = split_indices(120, "train", auto_seg=True)
+    va = split_indices(120, "val", auto_seg=True)
+    assert list(tr) == list(range(120))
+    assert list(va) == list(range(100))
+    # auto_seg wins over val_split too (the reference assignment comes last)
+    names = np.array([f"i{i}.png" for i in range(120)])
+    tr2 = split_indices(120, "train", "val_split", ["i2.png"], names,
+                        auto_seg=True)
+    assert list(tr2) == list(range(120))
+
+
+def test_visualize_poses_writes_ply(tmp_path):
+    """--vis_pose artifact (provider.py:105-140 headless equivalent):
+    PLY with per-camera 9 segments + bound box (+ unit box when
+    bound > 1) and the point cloud."""
+    from sanerf_hq_tpu.utils.vis_pose import visualize_poses
+
+    poses = np.stack([np.eye(4)] * 3)
+    pts = np.random.default_rng(0).normal(size=(17, 3))
+    out = visualize_poses(poses, bound=4.0, points=pts,
+                          out_path=str(tmp_path / "poses.ply"))
+    txt = open(out).read()
+    n_edges = 12 + 12 + 3 * 9  # bound box + unit box + 3 cameras
+    assert f"element edge {n_edges}" in txt
+    assert f"element vertex {n_edges * 2 + 17}" in txt
+
+
 def test_trajectory_synthesis():
     poses = circle_poses(radius=2.0, n_frames=8)
     assert poses.shape == (8, 4, 4)

@@ -74,6 +74,25 @@ def test_index_and_frame(viewer):
     assert float(headers["X-FPS"]) > 0
 
 
+def test_right_drag_pan_flag(viewer):
+    """--gui_mouse_right_drag (nerf/gui.py:444-452): the served page flips
+    right-drag from point-select to pan."""
+    base, sess, state = viewer
+    _, _, body = _get(base, "/")
+    assert b"RIGHT_DRAG_PAN=false" in body  # default mapping
+    from sanerf_hq_tpu.render.web_viewer import serve
+
+    server2, state2 = serve(sess, port=0, block=False,
+                            right_drag_pan=True)
+    try:
+        base2 = f"http://127.0.0.1:{server2.server_address[1]}"
+        _, _, body2 = _get(base2, "/")
+        assert b"RIGHT_DRAG_PAN=true" in body2
+    finally:
+        server2.shutdown()
+        state2._stop = True
+
+
 def test_orbit_changes_camera(viewer):
     base, sess, _ = viewer
     pose0 = sess.camera.pose.copy()
