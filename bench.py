@@ -17,9 +17,11 @@ worst per-leaf relative-L2 grad diff Pallas-vs-XLA autodiff — Mosaic
 divergence from the interpret-mode CI oracle is caught here, per round).
 
 Env knobs: BENCH_FIELD=hashgrid|hashgrid_packed|mlp (default mlp),
-BENCH_RAYS, BENCH_ITERS, BENCH_MODE=all|render|train|parity,
-BENCH_CP (CP feature rank of the mlp field; default 64 = the CLI flagship
-default, 0 = the plain freq-MLP).
+BENCH_RAYS, BENCH_ITERS, BENCH_MODE=all|render|train|parity|distill|mask
+(all = render + train + parity + stage-2 distill + stage-3 mask rates in
+one JSON line), BENCH_CP (CP feature rank of the mlp field; default 64 =
+the CLI flagship default, 0 = the plain freq-MLP), BENCH_FEAT_REP=cp|
+hashgrid (stage-2/3 feature container; cp = shipping default).
 """
 import json
 import os
@@ -101,6 +103,140 @@ def train_bench():
         "train_rays": n_rays,
         "train_mrays_per_sec": round(n_rays / per / 1e6, 4),
     }
+
+
+def distill_bench():
+    """Stage-2 distill step rate at the reference shape: 64x64 feature
+    rays regressed onto [64, 64, 256] encoder features (the cost envelope
+    of scripts/train_sam_nerf.sh's 5000 iters).  Uses the shipping
+    flagship config (CP feature containers, models/mlp_field.py
+    feat_rep='cp')."""
+    import jax
+    import jax.numpy as jnp
+
+    from sanerf_hq_tpu.config import Config
+    from sanerf_hq_tpu.data import make_synthetic_dataset, full_frame_rays
+    from sanerf_hq_tpu.models import make_field
+    from sanerf_hq_tpu.train.state import (create_train_state,
+                                           mlp_field_lr_scales)
+    from sanerf_hq_tpu.train.steps import make_sam_distill_step
+
+    field_type = os.environ.get("BENCH_FIELD", "mlp")
+    iters = int(os.environ.get("BENCH_ITERS_DISTILL", 10))
+    feat_rep = os.environ.get("BENCH_FEAT_REP", "cp")
+    cfg = Config(num_steps=(128, 64, 32), bound=128.0, contract=True,
+                 min_near=0.2, with_sam=True)
+    model = make_field(field_type, grid_bound=cfg.grid_bound, with_sam=True,
+                       feat_rep=feat_rep, **_mlp_kwargs(field_type))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                        jnp.ones((4, 3)))
+    scales = mlp_field_lr_scales(params) if field_type == "mlp" else None
+    state = create_train_state(params, cfg.lr, 5000, lr_scales=scales)
+    step = make_sam_distill_step(model, cfg, feat_hw=64)
+    scene = make_synthetic_dataset(n_views=1, H=64, W=64)
+    ro, rd = full_frame_rays(jnp.asarray(scene["poses"][0]),
+                             jnp.asarray(scene["intrinsics"]), 64, 64)
+    gt = jnp.asarray(
+        np.random.default_rng(0).normal(size=(64, 64, 256)), jnp.float32)
+    batch = {"rays_o_lr": ro, "rays_d_lr": rd, "gt_samvit": gt}
+
+    @jax.jit
+    def chain(state, k):
+        def body(i, st):
+            st, _ = step(st, batch, jax.random.fold_in(jax.random.PRNGKey(1), i))
+            return st
+
+        return jax.lax.fori_loop(0, k, body, state)
+
+    def pull(st):
+        return float(jnp.sum(jax.tree.leaves(st.params)[0]))
+
+    pull(chain(state, 1))
+    t0 = time.perf_counter()
+    pull(chain(state, 1))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pull(chain(state, 1 + iters))
+    t2 = time.perf_counter() - t0
+    per = max((t2 - t1) / iters, 1e-9)
+    return {"distill_steps_per_sec": round(1.0 / per, 2),
+            "distill_feat_rep": feat_rep}
+
+
+def mask_bench():
+    """Stage-3 object-field step rate at the reference shape: 6000 global
+    rays + 4 local 8x8 patches, error-map update, ray-pair RGB loss active
+    (scripts/train_obj_nerf.sh's cost envelope)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sanerf_hq_tpu.config import Config
+    from sanerf_hq_tpu.data import make_synthetic_dataset
+    from sanerf_hq_tpu.data.sampler import (fixed_fovy_intrinsics,
+                                            sample_mask_batch)
+    from sanerf_hq_tpu.models import make_field
+    from sanerf_hq_tpu.train.state import (create_train_state,
+                                           mlp_field_lr_scales)
+    from sanerf_hq_tpu.train.steps import make_mask_train_step
+
+    field_type = os.environ.get("BENCH_FIELD", "mlp")
+    iters = int(os.environ.get("BENCH_ITERS_MASK", 10))
+    feat_rep = os.environ.get("BENCH_FEAT_REP", "cp")
+    cfg = Config(num_steps=(128, 64, 32), bound=128.0, contract=True,
+                 min_near=0.2, with_mask=True, n_inst=2, num_rays=6000,
+                 ray_pair_rgb_loss_weight=1.0, ray_pair_rgb_threshold=0.1,
+                 ray_pair_rgb_iter=150, ray_pair_rgb_num_sample=8,
+                 local_sample_patch_size=8, num_local_sample=4,
+                 error_map=True)
+    model = make_field(field_type, grid_bound=cfg.grid_bound, with_mask=True,
+                       n_inst=2, feat_rep=feat_rep,
+                       **_mlp_kwargs(field_type))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                        jnp.ones((4, 3)))
+    scales = mlp_field_lr_scales(params) if field_type == "mlp" else None
+    state = create_train_state(params, cfg.lr, 200, lr_scales=scales)
+    state = state.replace(step=jnp.asarray(160, jnp.int32))  # ray-pair on
+    step = make_mask_train_step(model, cfg)
+    H = W = 128
+    scene = make_synthetic_dataset(n_views=4, H=H, W=W)
+    masks = jnp.asarray(
+        (np.asarray(scene["images"])[..., 0] > 0.5).astype(np.int32))
+    poses = jnp.asarray(scene["poses"])
+    intr = fixed_fovy_intrinsics(H, 60.0)
+    S = cfg.error_map_size
+    error_map = jnp.ones((4, S * S), jnp.float32)
+
+    @jax.jit
+    def chain(state, em, k):
+        def body(i, carry):
+            st, em = carry
+            kb = jax.random.fold_in(jax.random.PRNGKey(2), i)
+            batch = sample_mask_batch(
+                kb, masks, poses, intr, em, cfg.num_rays,
+                cfg.num_local_sample, cfg.local_sample_patch_size, H, W, S,
+                use_error_map=True)
+            batch["step"] = st.step
+            st, _, em = step(st, batch, jax.random.fold_in(kb, 1), em)
+            return st, em
+
+        return jax.lax.fori_loop(0, k, body, (state, em))
+
+    def pull(c):
+        return float(jnp.sum(jax.tree.leaves(c[0].params)[0]))
+
+    pull(chain(state, error_map, 1))
+    t0 = time.perf_counter()
+    pull(chain(state, error_map, 1))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pull(chain(state, error_map, 1 + iters))
+    t2 = time.perf_counter() - t0
+    per = max((t2 - t1) / iters, 1e-9)
+    n_rays = cfg.num_rays + cfg.num_local_sample * cfg.local_sample_patch_size ** 2
+    return {"mask_steps_per_sec": round(1.0 / per, 2),
+            "mask_rays": n_rays,
+            "mask_mrays_per_sec": round(n_rays / per / 1e6, 4),
+            "mask_feat_rep": feat_rep}
 
 
 def parity_check():
@@ -248,6 +384,26 @@ def main():
                 "vs_baseline": tr["train_mrays_per_sec"] / 2.0,
             })
         record.update(tr)
+    if mode in ("all", "distill"):
+        d = distill_bench()
+        if mode == "distill":
+            record.update({
+                "metric": f"distill_step_{field_type}",
+                "value": d["distill_steps_per_sec"],
+                "unit": "steps/sec/chip",
+                "vs_baseline": d["distill_steps_per_sec"],
+            })
+        record.update(d)
+    if mode in ("all", "mask"):
+        mk = mask_bench()
+        if mode == "mask":
+            record.update({
+                "metric": f"mask_step_{field_type}",
+                "value": mk["mask_steps_per_sec"],
+                "unit": "steps/sec/chip",
+                "vs_baseline": mk["mask_mrays_per_sec"] / 2.0,
+            })
+        record.update(mk)
     if mode in ("all", "parity") and field_type == "mlp":
         try:
             record.update(parity_check())

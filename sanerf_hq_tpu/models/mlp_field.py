@@ -115,6 +115,18 @@ class MLPField(nn.Module):
     cp_rank: int = 0
     cp_res: int = 256
     feat_spec: Optional[HashGridSpec] = None
+    # Feature-container representation for s_grid / m_grid.  The reference
+    # trains hash-grid feature volumes (nerf/network.py:102,120); on TPU
+    # those are the exact gather/scatter-bound regime docs/PERF.md measures
+    # at ~100x off speed-of-light (forward ~177M gathers/s, backward ~23M
+    # scatter-adds/s — stage-2 distill at 64x64 feature rays needs ~117M of
+    # EACH per step).  'cp' re-designs them as rank-R CP volumes with a
+    # linear projection to the reference feature width: pure MXU matmuls
+    # forward AND backward, same renderer/MLP wiring downstream.
+    # 'hashgrid' keeps the reference-like volume for parity studies.
+    feat_rep: str = "cp"
+    feat_rank: int = 128
+    feat_res: int = 256
 
     def setup(self):
         self.trunk = FreqMLP(
@@ -134,14 +146,18 @@ class MLPField(nn.Module):
         self.prop_mlp_1 = FreqMLP(1, self.prop_hidden, self.prop_layers,
                                   self.prop_freq_degree, fused=True)
 
-        # SAM / mask feature containers stay hash-grid (they are *trained
-        # feature volumes* like the reference's s_grid/m_grid); the backbone
-        # swap only affects the radiance field.
+        # SAM / mask feature containers: CP volumes by default (matmul-
+        # bound; see feat_rep docstring above) or reference-like hash
+        # grids.  Either way the downstream samvit/mask MLPs see the same
+        # feature width, so the renderer and stage drivers are agnostic.
         if self.with_sam:
             self.s_spec = self.feat_spec or feature_grid_spec()
-            self.s_grid_table = self.param(
-                "s_grid", lambda k: init_hash_table(k, self.s_spec)
-            )
+            if self.feat_rep == "cp":
+                self._make_cp_feature("s", self.s_spec.output_dim)
+            else:
+                self.s_grid_table = self.param(
+                    "s_grid", lambda k: init_hash_table(k, self.s_spec)
+                )
             self.samvit_mlp = SkipConnMLP(
                 SAM_OUTPUT_DIM, SAM_OUTPUT_DIM, 5, skip_layers=(2,), use_bias=True
             )
@@ -150,18 +166,51 @@ class MLPField(nn.Module):
         if self.with_mask:
             if self.mask_mlp_type == "default":
                 self.m_spec = self.feat_spec or feature_grid_spec()
-                self.m_grid_table = self.param(
-                    "m_grid", lambda k: init_hash_table(k, self.m_spec)
-                )
                 self.mask_mlp = SkipConnMLP(
                     self.n_inst, 256, 3, skip_layers=(), use_bias=False
                 )
             else:
                 self.m_spec = lightweight_mask_grid_spec()
+                self.mask_mlp = MLP(self.n_inst, 64, 3, use_bias=False)
+            if self.feat_rep == "cp":
+                self._make_cp_feature("m", self.m_spec.output_dim)
+            else:
                 self.m_grid_table = self.param(
                     "m_grid", lambda k: init_hash_table(k, self.m_spec)
                 )
-                self.mask_mlp = MLP(self.n_inst, 64, 3, use_bias=False)
+
+    def _make_cp_feature(self, tag: str, channels: int):
+        """Rank-R CP feature volume: 3 per-axis bases [feat_res, R] + a
+        [R, channels] projection.  Names cp_{tag}_* so mlp_field_lr_scales
+        keeps them at the table lr like the reference's grid embeddings."""
+        init = nn.initializers.normal(0.3)
+        for a in "xyz":
+            setattr(self, f"cp_{tag}_{a}", self.param(
+                f"cp_{tag}_{a}", init, (self.feat_res, self.feat_rank)))
+        setattr(self, f"cp_{tag}_proj", self.param(
+            f"cp_{tag}_proj", nn.initializers.normal(0.1),
+            (self.feat_rank, channels)))
+
+    def _cp_feature_lookup(self, x, tag: str):
+        """World coords -> [..., channels] CP features (one-hot-interp
+        matmuls; see cp_features for the MXU rationale)."""
+        xn = self._norm(x)
+        S = self.feat_res
+        p = jnp.clip((xn + 1.0) * 0.5, 0.0, 1.0) * (S - 1)
+        i0 = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, S - 2)
+        f = p - i0
+        iota = jnp.arange(S, dtype=jnp.int32)
+        g = None
+        for ai, a in enumerate("xyz"):
+            ia = i0[..., ai, None]
+            fa = f[..., ai, None]
+            W = (jnp.where(iota == ia, 1.0 - fa, 0.0)
+                 + jnp.where(iota == ia + 1, fa, 0.0))
+            La = jnp.dot(W, getattr(self, f"cp_{tag}_{a}"),
+                         preferred_element_type=jnp.float32)
+            g = La if g is None else g * La
+        return jnp.dot(g, getattr(self, f"cp_{tag}_proj"),
+                       preferred_element_type=jnp.float32)
 
     # scatter-free stage-1 backbone (matmul-only backward): the trainer's
     # device-side epoch scan may run uncapped (hash-grid scans >32 steps
@@ -329,12 +378,16 @@ class MLPField(nn.Module):
             rays_o, rays_d, real_bins, sh, *ws, *cps)
 
     def sam_features(self, x):
+        if self.feat_rep == "cp":
+            return self._cp_feature_lookup(x, "s")
         return hash_encode(self.s_grid_table, x, self.s_spec, bound=self.grid_bound)
 
     def apply_samvit_mlp(self, f):
         return self.samvit_norm(self.samvit_mlp(f))
 
     def mask_features(self, x):
+        if self.feat_rep == "cp":
+            return self._cp_feature_lookup(x, "m")
         return hash_encode(self.m_grid_table, x, self.m_spec, bound=self.grid_bound)
 
     def apply_mask_mlp(self, m):
@@ -383,6 +436,6 @@ def make_field(field_type: str = "hashgrid", **kw):
                    "n_inst", "sam_use_view_direction", "hidden", "num_layers",
                    "freq_degree", "prop_hidden", "prop_layers",
                    "prop_freq_degree", "density_bias", "cp_rank", "cp_res",
-                   "feat_spec"}
+                   "feat_spec", "feat_rep", "feat_rank", "feat_res"}
         return MLPField(**{k: v for k, v in kw.items() if k in allowed})
     raise ValueError(f"unknown field_type {field_type}")

@@ -1,2 +1,2 @@
 from .mesh import make_mesh, shard_rays, replicate, data_sharding
-from .evaluate import make_sharded_eval_step
+from .evaluate import make_sharded_eval_step, make_sharded_render

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..render.renderer import RenderSettings, render_rays
+from ..render.renderer import RenderSettings, render_rays, render_staged
 
 
 def make_sharded_eval_step(model, settings: RenderSettings, mesh: Mesh,
@@ -44,3 +44,64 @@ def make_sharded_eval_step(model, settings: RenderSettings, mesh: Mesh,
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_sharded_render(model, settings: RenderSettings, mesh: Mesh,
+                        axis: str = "data"):
+    """Sharded full-frame render for eval/test: the ray axis is split over
+    the mesh, each device runs the staged (chunked) renderer on its shard,
+    outputs are gathered back on the ray axis.  Replaces the reference's
+    single-GPU full-frame render inside its dead all_gather eval path
+    (nerf/trainer.py:1577-1601).
+
+    Returns render(params, rays_o, rays_d, bg_color=1.0, cam_near_far=None,
+    aabb=None) with the same output dict as render_staged.  cam_near_far
+    must be a replicated [1, 2] (per-view bounds); ray counts are padded to
+    a multiple of the axis size internally."""
+    n_dev = mesh.shape[axis]
+
+    def _build(has_cnf: bool, has_aabb: bool):
+        def per_shard(params, ro, rd, bg, *rest):
+            rest = list(rest)
+            cnf = rest.pop(0) if has_cnf else None
+            aabb = rest.pop(0) if has_aabb else None
+            return nn.apply(
+                lambda f, *a, **k: render_staged(f, *a, **k), model
+            )(params, ro, rd, settings, bg_color=bg, cam_near_far=cnf,
+              aabb=aabb)
+
+        in_specs = [P(), P(axis), P(axis), P()]
+        if has_cnf:
+            in_specs.append(P())
+        if has_aabb:
+            in_specs.append(P())
+        return jax.jit(jax.shard_map(
+            per_shard, mesh=mesh, in_specs=tuple(in_specs),
+            out_specs=P(axis), check_vma=False,
+        ))
+
+    built = {}
+
+    def render(params, rays_o, rays_d, bg_color=1.0, cam_near_far=None,
+               aabb=None, key=None):
+        assert key is None, "sharded eval render is deterministic"
+        N = rays_o.shape[0]
+        pad = (-N) % n_dev
+        if pad:
+            rays_o = jnp.concatenate(
+                [rays_o, jnp.zeros((pad, 3), rays_o.dtype)], axis=0)
+            rays_d = jnp.concatenate(
+                [rays_d, jnp.ones((pad, 3), rays_d.dtype)], axis=0)
+        sig = (cam_near_far is not None, aabb is not None)
+        if sig not in built:
+            built[sig] = _build(*sig)
+        args = [params, rays_o, rays_d,
+                jnp.asarray(bg_color, jnp.float32)]
+        if cam_near_far is not None:
+            args.append(jnp.asarray(cam_near_far).reshape(1, 2))
+        if aabb is not None:
+            args.append(jnp.asarray(aabb, jnp.float32))
+        out = built[sig](*args)
+        return {k: v[:N] for k, v in out.items()}
+
+    return render

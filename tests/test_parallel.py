@@ -136,6 +136,42 @@ def test_sharded_eval_psum_matches_single_device():
     assert np.isfinite(out["psnr"])
 
 
+def test_sharded_staged_render_matches_single_device():
+    """make_sharded_render: full-frame staged render with rays split over
+    the mesh must equal the single-device render — including a ray count
+    NOT divisible by the mesh size (padding path) and per-view
+    cam_near_far."""
+    from sanerf_hq_tpu.data import make_synthetic_dataset, full_frame_rays
+    from sanerf_hq_tpu.parallel import make_sharded_render
+    from sanerf_hq_tpu.render.renderer import RenderSettings, render_staged
+    import flax.linen as nn
+
+    model, cfg = _tiny_field_and_cfg()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                        jnp.ones((4, 3)))
+    scene = make_synthetic_dataset(n_views=1, H=10, W=10)  # 100 rays % 8 != 0
+    ro, rd = full_frame_rays(jnp.asarray(scene["poses"][0]),
+                             jnp.asarray(scene["intrinsics"]), 10, 10)
+    settings = RenderSettings(num_steps=tuple(cfg.num_steps),
+                              use_contract=cfg.contract,
+                              min_near=cfg.min_near,
+                              background=cfg.background, bound=cfg.bound,
+                              max_ray_batch=32)
+    mesh = make_mesh((8,), ("data",))
+    srender = make_sharded_render(model, settings, mesh)
+    cnf = jnp.asarray([[0.5, 8.0]])
+    out_s = srender(params, ro, rd, cam_near_far=cnf)
+    out_1 = nn.apply(lambda f, *a, **k: render_staged(f, *a, **k), model)(
+        params, ro, rd, settings, cam_near_far=cnf)
+    assert out_s["image"].shape[0] == 100
+    np.testing.assert_allclose(np.asarray(out_s["image"]),
+                               np.asarray(out_1["image"]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_s["depth"]),
+                               np.asarray(out_1["depth"]),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_shard_rays_placement():
     mesh = make_mesh((8,), ("data",))
     batch = {

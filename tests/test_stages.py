@@ -186,7 +186,11 @@ def test_evaluate_sam_features(tmp_path):
     from sanerf_hq_tpu.data.provider import Scene
     from tests.test_sam import tiny_sam
 
-    cfg = CFG.replace(with_sam=True, max_ray_batch=512)
+    # use_default_intrinsics keeps the view's own (non-square) camera;
+    # the default eval camera is a square fovy-60 online_resolution one
+    # (nerf/provider.py:925-947), covered below
+    cfg = CFG.replace(with_sam=True, max_ray_batch=512,
+                      use_default_intrinsics=True)
     model = SANeRFField(grid_bound=cfg.grid_bound, with_sam=True,
                         sam_use_view_direction=True, **SMALL)
     trainer = Trainer("t", cfg, model, str(tmp_path / "ws"),
@@ -201,6 +205,129 @@ def test_evaluate_sam_features(tmp_path):
     assert np.isfinite(mse) and mse >= 0
     import os as _os
     assert _os.path.exists(str(tmp_path / "feats" / "a_samvit.npy"))
+
+    # default camera gating: fovy-60 square at online_resolution, or the
+    # view's focal when --use_default_focal_length
+    seen = []
+    orig = trainer.render_view
+
+    def spy(pose, intr, H, W, **kw):
+        seen.append((np.asarray(intr).copy(), H, W))
+        return orig(pose, intr, H, W, **kw)
+
+    trainer.render_view = spy
+    trainer.cfg = cfg.replace(use_default_intrinsics=False)
+    evaluate_sam_features(trainer, scene, sam)
+    R = cfg.online_resolution
+    focal60 = R / (2.0 * np.tan(0.5 * np.deg2rad(60.0)))
+    assert seen[-1][1] == seen[-1][2] == R
+    assert np.allclose(seen[-1][0], [focal60, focal60, R / 2, R / 2])
+    trainer.cfg = cfg.replace(use_default_intrinsics=False,
+                              use_default_focal_length=True)
+    evaluate_sam_features(trainer, scene, sam)
+    assert seen[-1][0][0] == pytest.approx(float(s["intrinsics"][0]))
+    trainer.render_view = orig
+    trainer.cfg = cfg
+
+
+def test_cp_feature_containers_distill_and_mask():
+    """TPU-native s_grid/m_grid redesign (models/mlp_field.py feat_rep
+    'cp'): the flagship's feature containers are CP volumes — matmul-bound
+    — and must (1) produce the same feature width as the reference hash
+    volume, (2) receive gradients in the distill and mask steps while the
+    frozen radiance backbone does not."""
+    from sanerf_hq_tpu.models import make_field
+    from sanerf_hq_tpu.train.state import (create_train_state,
+                                           freeze_mask_from_loaded,
+                                           mlp_field_lr_scales)
+    from sanerf_hq_tpu.train.checkpoints import partial_load
+
+    cfg = CFG.replace(with_sam=True, with_mask=True)
+    kw = dict(grid_bound=cfg.grid_bound, with_sam=True, with_mask=True,
+              n_inst=2, sam_use_view_direction=True, hidden=32, num_layers=2,
+              prop_hidden=16, prop_layers=2, cp_rank=8, cp_res=32,
+              feat_rank=16, feat_res=32)
+    model = make_field("mlp", feat_rep="cp", **kw)
+    params = _init(model)
+    names = [jax.tree_util.keystr(p) for p, _ in
+             jax.tree_util.tree_leaves_with_path(params)]
+    assert any("cp_s_proj" in n for n in names)
+    assert any("cp_m_x" in n for n in names)
+    assert not any("'s_grid'" in n for n in names)
+
+    # feature width parity with the hash container
+    model_h = make_field("mlp", feat_rep="hashgrid", **kw)
+    params_h = _init(model_h)
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (5, 3)),
+                    jnp.float32)
+    f_cp = model.apply(params, x, method=lambda m, x: m.sam_features(x))
+    f_h = model_h.apply(params_h, x, method=lambda m, x: m.sam_features(x))
+    assert f_cp.shape == f_h.shape
+
+    # freeze-mask training: backbone frozen, CP features move
+    stage1 = make_field("mlp", grid_bound=cfg.grid_bound, hidden=32,
+                        num_layers=2, prop_hidden=16, prop_layers=2,
+                        cp_rank=8, cp_res=32)
+    p1 = _init(stage1)
+    params, _ = partial_load(params, p1)
+    freeze = freeze_mask_from_loaded(params, p1)
+    state = create_train_state(params, 1e-2, 100, freeze_mask=freeze,
+                               lr_scales=mlp_field_lr_scales(params))
+
+    distill_step = make_sam_distill_step(model, cfg, feat_hw=8)
+    ro, rd = full_frame_rays(jnp.eye(4), jnp.asarray([8.0, 8.0, 4.0, 4.0]),
+                             8, 8)
+    batch = {"rays_o_lr": ro, "rays_d_lr": rd,
+             "gt_samvit": jnp.ones((8, 8, 256)) * 0.1}
+    new_state, metrics = distill_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    p_old = state.params["params"]
+    p_new = new_state.params["params"]
+    assert not np.allclose(p_old["cp_s_x"], p_new["cp_s_x"])
+    assert np.allclose(p_old["trunk"]["w0"], p_new["trunk"]["w0"])
+
+    mask_step = make_mask_train_step(model, cfg)
+    S = cfg.error_map_size
+    Nl = cfg.num_local_sample * cfg.local_sample_patch_size ** 2
+    N = cfg.num_rays + Nl
+    mb = {
+        "rays_o": jnp.tile(ro[:1], (N, 1)), "rays_d": jnp.tile(rd[:1], (N, 1)),
+        "gt_masks": jnp.zeros((N,), jnp.int32),
+        "img_inds": jnp.zeros((cfg.num_rays,), jnp.int32),
+        "inds_coarse": jnp.zeros((cfg.num_rays,), jnp.int32),
+        "local_error": jnp.ones((Nl,)), "step": jnp.asarray(5),
+    }
+    em = jnp.ones((1, S * S))
+    new_state2, m2, _ = mask_step(state, mb, jax.random.PRNGKey(1), em)
+    assert np.isfinite(float(m2["loss"]))
+    assert not np.allclose(p_old["cp_m_x"],
+                           new_state2.params["params"]["cp_m_x"])
+
+
+def test_return_extra_outputs(tmp_path):
+    """--return_extra (nerf/trainer.py:886, 1136-1160): test saves the
+    per-view extra artifact — rendered 64x64 feature map (with_sam) or
+    full-res mask logits (with_mask)."""
+    from sanerf_hq_tpu.train.trainer import Trainer
+    from sanerf_hq_tpu.data.provider import Scene
+
+    cfg = CFG.replace(with_sam=True, with_mask=True, max_ray_batch=512,
+                      return_extra=True)
+    model = SANeRFField(grid_bound=cfg.grid_bound, with_sam=True,
+                        with_mask=True, n_inst=2,
+                        sam_use_view_direction=True, **SMALL)
+    trainer = Trainer("t", cfg, model, str(tmp_path / "ws"),
+                      use_checkpoint="scratch")
+    s = make_synthetic_dataset(n_views=1, H=16, W=16)
+    scene = Scene(images=s["images"], poses=s["poses"],
+                  intrinsics=s["intrinsics"], H=16, W=16,
+                  img_names=np.array(["v0"]))
+    trainer.test(scene, save_dir=str(tmp_path / "out_sam"), extra="sam")
+    feats = np.load(str(tmp_path / "out_sam" / "v0_sam.npy"))
+    assert feats.shape[:2] == (64, 64) and np.isfinite(feats).all()
+    trainer.test(scene, save_dir=str(tmp_path / "out_mask"), extra="mask")
+    logits = np.load(str(tmp_path / "out_mask" / "v0_mask.npy"))
+    assert logits.shape == (16, 16, 2) and np.isfinite(logits).all()
 
 
 def test_error_map_guided_sampling_distribution():
