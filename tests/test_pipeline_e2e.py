@@ -116,3 +116,53 @@ def test_full_pipeline(tmp_path):
     # regression in the mask pipeline (the old 0.3 bar would have passed
     # the round-2 destabilized recipe the judge flagged)
     assert np.isfinite(miou) and miou > 0.9, f"mIoU too low: {miou}"
+
+
+def test_distill_container_pipeline(tmp_path):
+    """The OTHER stage-2 container (--feature_container distill,
+    nerf/trainer.py:507-555): stage-1 fit -> distill the SAM encoder's
+    features into the feature field -> rendered-feature MSE eval
+    (:648-691) -> decode from DISTILLED features (:924-929).  Runs on the
+    flagship MLPField with CP feature containers — the shipping config."""
+    from sanerf_hq_tpu.models import make_field
+
+    ws = str(tmp_path / "ws")
+    scene = _scene(3, 24, 24)
+
+    mkw = dict(grid_bound=2.0, hidden=32, num_layers=2, prop_hidden=16,
+               prop_layers=2, cp_rank=8, cp_res=32, feat_rank=16,
+               feat_res=32, feat_rep="cp")
+    cfg1 = Config(num_steps=(16, 8, 8), num_rays=256, iters=80, bound=4.0,
+                  contract=True, min_near=0.05, random_image_batch=True,
+                  max_ray_batch=1024, eval_cnt=1, save_cnt=1,
+                  lambda_distort=0.0, field_type="mlp")
+    m1 = make_field("mlp", **mkw)
+    t1 = Trainer("d1", cfg1, m1, ws, use_checkpoint="scratch")
+    t1.train(scene, val_scene=None)
+
+    cfg2 = cfg1.replace(with_sam=True, feature_container="distill",
+                        online_resolution=24, iters=12, cache_size=4,
+                        cache_interval=2, use_default_intrinsics=True)
+    m2 = make_field("mlp", with_sam=True, **mkw)
+    t2 = Trainer("d2", cfg2, m2, ws, use_checkpoint="scratch",
+                 init_params=t1.state.params)
+    sam = SamPredictor(tiny_sam(), img_size=64)
+    stages.train_sam_distill(t2, scene, sam)
+    assert int(t2.state.step) == 12
+
+    mse = stages.evaluate_sam_features(t2, scene, sam, max_views=1)
+    assert np.isfinite(mse) and mse >= 0
+
+    # decode from the distilled feature field (no sam_cache on disk)
+    prompts = PointPrompts(points=np.array([[0.0, 0.0, 0.5]], np.float32),
+                           labels=np.array([1], np.int32),
+                           crucial_label=np.array([0], np.int32),
+                           crucial_count=0, valid_threshold=1)
+    out_dir = stages.decode(t2, _scene(1, 24, 24), sam, prompts,
+                            out_dir=str(tmp_path / "masks"),
+                            feature_container="distill", depth_tol=10.0)
+    import json
+    with open(os.path.join(out_dir, "valid_dict.json")) as f:
+        valid = json.load(f)
+    assert set(valid) == {"v0"}
+    assert os.path.exists(os.path.join(out_dir, "v0_obj_mask.npy"))
