@@ -276,6 +276,8 @@ def parity_check():
                 + 1e-3 * jnp.mean(out["depth"]))
 
     worst = 0.0
+    worst_leaf = ""
+    per_leaf = {}
     prev = fm.PALLAS_ENABLED
     try:
         for upd in (True, False):
@@ -285,15 +287,27 @@ def parity_check():
             fm.PALLAS_ENABLED = False
             g_r = jax.device_get(
                 jax.jit(jax.grad(lambda p: loss(p, upd)))(params))
-            for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_r)):
+            fl_f = jax.tree_util.tree_leaves_with_path(g_f)
+            fl_r = jax.tree.leaves(g_r)
+            for (path, a), b in zip(fl_f, fl_r):
                 a = np.asarray(a, np.float64)
                 b = np.asarray(b, np.float64)
                 nb = np.linalg.norm(b)
                 if nb <= 1e-9:
                     continue
-                worst = max(worst, np.linalg.norm(a - b) / nb)
+                rel = np.linalg.norm(a - b) / nb
+                name = jax.tree_util.keystr(path)
+                per_leaf[name] = max(per_leaf.get(name, 0.0), float(rel))
+                if rel > worst:
+                    worst, worst_leaf = rel, name
     finally:
         fm.PALLAS_ENABLED = prev
+    # per-leaf record (VERDICT r3 weak #6: a regression in one small leaf
+    # must be visible before it crosses the 10% gate)
+    with open("GRAD_PARITY.json", "w") as f:
+        json.dump({k: round(v, 5) for k, v in
+                   sorted(per_leaf.items(), key=lambda kv: -kv[1])}, f,
+                  indent=1)
     # Per-leaf relative-L2 with a 10% budget.  Calibration (v5e, CP-64
     # flagship): the bf16-default-matmul noise floor is ~3.3% relL2 —
     # the *pure-XLA* path is itself 12.8% max-elementwise from a
@@ -301,7 +315,9 @@ def parity_check():
     # max-elementwise metric is noise-dominated, while a genuine Mosaic
     # lowering bug (dropped term, wrong sign/indexing) lands at O(1) relL2.
     return {"grad_parity": "pass" if worst <= 0.10 else "fail",
-            "grad_parity_rel_l2": round(float(worst), 5)}
+            "grad_parity_rel_l2": round(float(worst), 5),
+            "grad_parity_worst_leaf": worst_leaf.strip("[]'\""),
+            "grad_parity_leaves": "GRAD_PARITY.json"}
 
 
 def render_bench():

@@ -170,7 +170,11 @@ def train_sam_distill(trainer: Trainer, scene: Scene, sam_predictor,
         render_and_encode = make_render_and_encode(
             trainer, sam_predictor.sam, R, sam_predictor.img_size)
 
+    # host-side step counter: int(state.step) costs a ~27 ms device-tunnel
+    # round-trip PER STEP, which dominates once the distill step itself is
+    # ~7 ms (CP feature containers, BENCH distill_steps_per_sec)
     step = int(trainer.state.step)
+    save_every = max(iters // max(cfg.save_cnt, 1), 1)
     while step < iters:
         trainer.key, k_view, k_fov, k_step = jax.random.split(trainer.key, 4)
         use_cache = (
@@ -204,13 +208,13 @@ def train_sam_distill(trainer: Trainer, scene: Scene, sam_predictor,
                 cache.insert(batch)
 
         trainer.state, metrics = distill_step(trainer.state, batch, k_step)
-        step = int(trainer.state.step)
+        step += 1
         if step % 100 == 0 or step == iters:
             trainer.log(f"[SAM-distill {step}/{iters}] "
                         f"loss={float(metrics['loss']):.5f}")
-        if step % max(iters // max(cfg.save_cnt, 1), 1) == 0:
+        if step % save_every == 0:
             trainer.ckpt.save(step, trainer._state_tree())
-    trainer.ckpt.save(int(trainer.state.step), trainer._state_tree())
+    trainer.ckpt.save(step, trainer._state_tree())
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +257,8 @@ def train_mask(trainer: Trainer, scene: Scene, iters: Optional[int] = None):
         cfg.local_sample_patch_size, H, W, S, use_error_map=cfg.error_map,
     ))
 
+    # host-side counter (same ~27 ms/step sync rationale as the distill
+    # loop above)
     step = int(trainer.state.step)
     while step < iters:
         trainer.key, kb, ks = jax.random.split(trainer.key, 3)
@@ -261,7 +267,7 @@ def train_mask(trainer: Trainer, scene: Scene, iters: Optional[int] = None):
         trainer.state, metrics, error_map = mask_step(
             trainer.state, batch, ks, error_map
         )
-        step = int(trainer.state.step)
+        step += 1
         if cfg.error_map and cfg.ray_pair_rgb_iter > 0 and \
                 step % cfg.ray_pair_rgb_iter == 0:
             error_map = update_error_map(trainer, scene, masks, poses, intr,

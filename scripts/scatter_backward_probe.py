@@ -34,21 +34,30 @@ def rates():
     idx = jnp.asarray(rng.integers(0, SIZE, B), jnp.int32)
     vals = jnp.asarray(rng.normal(size=(B, C)), jnp.float32)
 
-    def timeit(fn, *args, iters=8):
+    def timeit(fn, idx, vals, iters=8):
+        # the carry feeds the VALUES input so the body is not
+        # loop-invariant (XLA hoists invariant bodies — docs/PERF.md
+        # Pallas lesson #5; the first version of this probe measured a
+        # hoisted no-op at "262144000 M/s")
         @jax.jit
-        def chain(k, *a):
+        def chain(k):
+            # dynamic trip count -> ONE compile per strategy (the static-k
+            # version cost 2 tunnel compiles each and timed out the probe)
             def body(i, carry):
-                out = fn(*a)
-                return carry + jnp.sum(out) * 1e-20
+                out = fn(idx, vals + carry)
+                return jnp.sum(out) * 1e-20
 
-            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0),
+                                     unroll=False)
 
-        float(chain(1, *args))
+        one = jnp.asarray(1, jnp.int32)
+        many = jnp.asarray(1 + iters, jnp.int32)
+        float(chain(one))
         t0 = time.perf_counter()
-        float(chain(1, *args))
+        float(chain(one))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(chain(1 + iters, *args))
+        float(chain(many))
         t2 = time.perf_counter() - t0
         return max((t2 - t1) / iters, 1e-9)
 
