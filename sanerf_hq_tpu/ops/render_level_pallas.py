@@ -45,12 +45,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-R_TILE = 2048          # rays per grid step (proposal kernel)
+import os as _os
+
+# rays per grid step (proposal/inference kernels); env-overridable for
+# sweeps.  Hardware sweep (v5e, docs/PERF.md "R_TILE sweep"): 1024 2.77,
+# 2048 2.87, 4096 2.94, 8192 2.89 Mrays/s — 4096 is the knee (VMEM reuse
+# per grid step up, working set still well inside the 64 MiB limit).
+R_TILE = int(_os.environ.get("SANERF_R_TILE", 4096))
 # v5e has 128 MiB VMEM; the 16 MiB scoped default OOMs the training
 # backward (weight-grad accumulators + activation stash + CP bases).
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
-GROUP_FWD_PROP = 8     # samples per matmul pass in the proposal kernel
-                       # (G*R = 16384 lanes; 4096x8 blows scoped vmem)
+# samples per matmul pass in the proposal kernel (G*R = 16384 lanes at
+# the old 2048 tile; 4096x8 blows scoped vmem).  Env-overridable for sweeps.
+GROUP_FWD_PROP = int(_os.environ.get("SANERF_GROUP_FWD_PROP", 8))
 INTERPRET = False    # run kernels in interpret mode (CPU debug/tests)
 
 
@@ -415,7 +422,8 @@ R_TILE_TRAIN = 2048       # forward tile (rays)
 R_TILE_BWD = 1024         # proposal backward tile
 R_TILE_BWD_FINAL = 512    # final backward stashes 894 activation rows ->
                           # G*R = 2048 lanes is the scoped-vmem ceiling
-GROUP_FWD = 4        # samples batched per matmul pass (forward kernels)
+GROUP_FWD = int(_os.environ.get("SANERF_GROUP_FWD", 4))
+                     # samples batched per matmul pass (forward kernels)
 GROUP_BWD_FINAL = 4
 GROUP_BWD_PROP = 8
 
