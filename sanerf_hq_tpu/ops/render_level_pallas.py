@@ -418,14 +418,20 @@ def _prop_train_sample_bwd(static, res, g):
 # of a 16-row FMA per sample.
 # ---------------------------------------------------------------------------
 
-R_TILE_TRAIN = 2048       # forward tile (rays)
-R_TILE_BWD = 1024         # proposal backward tile
-R_TILE_BWD_FINAL = 512    # final backward stashes 894 activation rows ->
+def _env_int(name, default):
+    return int(_os.environ.get(name, default))
+
+
+R_TILE_TRAIN = _env_int("SANERF_R_TILE_TRAIN", 2048)  # forward tile (rays)
+R_TILE_BWD = _env_int("SANERF_R_TILE_BWD", 1024)  # proposal backward tile
+R_TILE_BWD_FINAL = _env_int("SANERF_R_TILE_BWD_FINAL", 512)
+                          # final backward stashes 894 activation rows ->
                           # G*R = 2048 lanes is the scoped-vmem ceiling
-GROUP_FWD = int(_os.environ.get("SANERF_GROUP_FWD", 4))
-                     # samples batched per matmul pass (forward kernels)
-GROUP_BWD_FINAL = 4
-GROUP_BWD_PROP = 8
+GROUP_FWD = _env_int("SANERF_GROUP_FWD", 8)
+                     # samples batched per matmul pass (forward kernels);
+                     # v5e sweep: 2 2.84, 4 2.94, 8 2.95, 16 2.84 Mrays/s
+GROUP_BWD_FINAL = _env_int("SANERF_GROUP_BWD_FINAL", 4)
+GROUP_BWD_PROP = _env_int("SANERF_GROUP_BWD_PROP", 8)
 
 
 def _pick_group(T: int, want: int) -> int:
