@@ -226,12 +226,17 @@ class Trainer:
         t_start = time.time()
         py_step = step0 = int(self.state.step)  # single sync, then host-side
         # scan chunks are capped: very long device-side scans of the
-        # HASH-GRID step (scatter_add backward) have crashed the TPU
-        # worker at 112 steps while 22-step scans run fine; 32 keeps the
-        # dispatch overhead amortized ~100x without tickling that.  The
-        # scatter-free fields (mlp flagship: matmul-only megakernel
-        # backward) have never crashed and scan whole epochs.
-        SCAN_CAP = 32 if "hashgrid" in getattr(
+        # HASH-GRID step (scatter_add backward) crash the TPU worker —
+        # r3 production at 112 steps, and the standalone reproducer
+        # (scripts/scatter_backward_probe.py crash, r4) at 32, while
+        # small scans of the same body run fine.  Platform fault, not a
+        # framework bug — docs/PERF.md "Long-scan worker crash".  16
+        # stays under both observed thresholds and still amortizes the
+        # ~27 ms dispatch RTT >50x (hashgrid steps are gather-bound,
+        # tens of ms each).  The scatter-free fields (mlp flagship:
+        # matmul-only megakernel backward) have never crashed and scan
+        # whole epochs.
+        SCAN_CAP = 16 if "hashgrid" in getattr(
             self.model, "field_kind", "hashgrid") else 256
 
         # 1-deep log pipeline: pulling an epoch's metrics blocks on the
