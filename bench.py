@@ -132,7 +132,13 @@ def distill_bench():
                         jnp.ones((4, 3)))
     scales = mlp_field_lr_scales(params) if field_type == "mlp" else None
     state = create_train_state(params, cfg.lr, 5000, lr_scales=scales)
-    step = make_sam_distill_step(model, cfg, feat_hw=64)
+    # production stage-2 always runs from --init_ckpt with the backbone
+    # frozen (reference main.py:249-256), which routes the backbone render
+    # through the stop-gradient megakernels; BENCH_FROZEN=0 measures the
+    # legacy fully-differentiable path
+    frozen = os.environ.get("BENCH_FROZEN", "1") == "1"
+    step = make_sam_distill_step(model, cfg, feat_hw=64,
+                                 frozen_backbone=frozen)
     scene = make_synthetic_dataset(n_views=1, H=64, W=64)
     ro, rd = full_frame_rays(jnp.asarray(scene["poses"][0]),
                              jnp.asarray(scene["intrinsics"]), 64, 64)
@@ -196,7 +202,8 @@ def mask_bench():
     scales = mlp_field_lr_scales(params) if field_type == "mlp" else None
     state = create_train_state(params, cfg.lr, 200, lr_scales=scales)
     state = state.replace(step=jnp.asarray(160, jnp.int32))  # ray-pair on
-    step = make_mask_train_step(model, cfg)
+    frozen = os.environ.get("BENCH_FROZEN", "1") == "1"  # see distill_bench
+    step = make_mask_train_step(model, cfg, frozen_backbone=frozen)
     H = W = 128
     scene = make_synthetic_dataset(n_views=4, H=H, W=W)
     masks = jnp.asarray(

@@ -300,15 +300,21 @@ class MLPField(nn.Module):
                                 density_bias=self.density_bias)
 
     def fused_prop_next_bins(self, rays_o, rays_d, real_bins, s_bins, u,
-                             proposal: int, opaque_last: bool = True):
+                             proposal: int, opaque_last: bool = True,
+                             frozen: bool = False):
         """Proposal level + inverse-CDF resampling fused in one kernel
         (inference): returns the NEXT level's s-space bin edges [N, Q]
-        without the per-sample weights ever leaving VMEM."""
+        without the per-sample weights ever leaving VMEM.  frozen=True
+        stop-gradients the MLP weights so the kernel (which has no VJP)
+        is safe under jax.grad — used by the frozen-backbone stage-2/3
+        side-output path."""
         from ..ops.render_level_pallas import fused_prop_level_sample
 
         mlp = self.prop_mlp_0 if proposal == 0 else self.prop_mlp_1
         ws = [mlp.variables["params"][f"w{l}"]
               for l in range(self.prop_layers)]
+        if frozen:
+            ws = [jax.lax.stop_gradient(w) for w in ws]
         return fused_prop_level_sample(
             rays_o, rays_d, real_bins, s_bins, u, ws,
             self.prop_freq_degree, self.grid_bound,
@@ -332,6 +338,28 @@ class MLPField(nn.Module):
             opaque_last=opaque_last, density_bias=self.density_bias,
             cps=cps, cp_res=self.cp_res,
         )
+
+    def fused_final_render_frozen(self, rays_o, rays_d, real_bins,
+                                  opaque_last: bool = True,
+                                  need_geo: bool = False):
+        """Frozen-backbone final level for return_feats/return_mask: the
+        whole backbone render (trunk + CP + compositing) in one inference
+        kernel under stop_gradient — the stage-2/3 freeze mask never lets
+        gradient reach it, so its backward is dead weight the unfused path
+        was paying for.  Returns (f_image [N, 31], depth [N], weights_sum
+        [N], weights [N, T], geo [N, T, 15] | None)."""
+        from ..ops.render_level_pallas import fused_final_level_frozen
+
+        d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        sh = sh_encode(d, SH_DEGREE)
+        ws = [self.trunk.variables["params"][f"w{l}"]
+              for l in range(self.num_layers)]
+        cps = list(self.cp_basis) if self.cp_rank > 0 else []
+        return fused_final_level_frozen(
+            rays_o, rays_d, real_bins, sh, ws, self.freq_degree,
+            skip_layer=self.num_layers // 2, grid_bound=self.grid_bound,
+            opaque_last=opaque_last, density_bias=self.density_bias,
+            cps=cps, cp_res=self.cp_res, need_geo=need_geo)
 
     # training megakernels (custom-VJP, ops/render_level_pallas.py)
     def fused_prop_weights_train(self, rays_o, rays_d, real_bins,

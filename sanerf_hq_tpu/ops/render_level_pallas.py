@@ -82,6 +82,84 @@ def fused_final_level(rays_o, rays_d, real_bins, sh, ws: Sequence,
     return f_img, depth, wsum
 
 
+def fused_final_level_frozen(rays_o, rays_d, real_bins, sh, ws: Sequence,
+                             freq_degree: int, skip_layer: int,
+                             grid_bound: float, opaque_last: bool = True,
+                             density_bias: float = 0.0, cps: Sequence = (),
+                             cp_res: int = 0, need_geo: bool = False):
+    """Frozen-backbone final level for the stage-2/3 side-output paths
+    (return_feats / return_mask, reference nerf/renderer.py:304-305,
+    359-385).  Same fusion as the train-forward kernel but with NO custom
+    VJP — all inputs are stop-gradient'd, so under jax.grad the whole
+    backbone render is DCE'd from the backward graph (the reference
+    freezes the NeRF backbone during stages 2/3, main.py:249-256, so no
+    gradient ever needs to flow here).
+
+    Returns (f_image [N, C], depth [N], weights_sum [N], weights [N, T],
+    geo [N, T, 15] or None) — geo is the per-sample trunk feature the
+    mask MLP consumes (nerf/renderer.py:376-385), emitted straight from
+    VMEM only when need_geo."""
+    sg = jax.lax.stop_gradient
+    rays_o, rays_d, real_bins, sh = (sg(rays_o), sg(rays_d), sg(real_bins),
+                                     sg(sh))
+    ws = [sg(w) for w in ws]
+    cps = [sg(c) for c in cps]
+    cp_rank = cps[0].shape[1] if cps else 0
+    N = rays_o.shape[0]
+    T = real_bins.shape[1] - 1
+    n_layers = len(ws)
+    G = _pick_group(T, GROUP_FWD)
+    r_tile = R_TILE_TRAIN // 2 if cp_rank else R_TILE_TRAIN
+    pad = (-N) % r_tile
+    ot, dt = _pad_t(rays_o, pad), _pad_t(rays_d, pad)
+    bt = _pad_t(real_bins, pad, cv=1.0)
+    st = _pad_t(sh, pad)
+    Np = ot.shape[1]
+    Pf = jnp.asarray(_freq_rows_matrix(3, freq_degree))
+    wts = [w.T for w in ws]
+    cbt = [c.T for c in cps]
+    C = 15 + sh.shape[1]
+
+    kernel = _make_final_train_kernel(T, G, n_layers, skip_layer,
+                                      freq_degree, grid_bound, opaque_last,
+                                      density_bias, jnp.bfloat16,
+                                      cp_rank=cp_rank, cp_res=cp_res,
+                                      geo_out=need_geo)
+    out_specs = [
+        _row_spec(C, r_tile),
+        _row_spec(1, r_tile),
+        _row_spec(1, r_tile),
+        _row_spec(T, r_tile),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((C, Np), jnp.float32),
+        jax.ShapeDtypeStruct((1, Np), jnp.float32),
+        jax.ShapeDtypeStruct((1, Np), jnp.float32),
+        jax.ShapeDtypeStruct((T, Np), jnp.float32),
+    ]
+    if need_geo:
+        out_specs.append(_row_spec(15 * T, r_tile))
+        out_shape.append(jax.ShapeDtypeStruct((15 * T, Np), jnp.float32))
+    outs = pl.pallas_call(
+        kernel,
+        interpret=INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
+        grid=(Np // r_tile,),
+        in_specs=[_const_spec(Pf.shape)]
+        + [_row_spec(r, r_tile) for r in (3, 3, T + 1, sh.shape[1])]
+        + [_const_spec(w.shape) for w in wts]
+        + [_const_spec(c.shape) for c in cbt],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+    )(Pf, ot, dt, bt, st, *wts, *cbt)
+    f_img, depth, wsum, w_out = outs[:4]
+    geo = None
+    if need_geo:
+        # rows are sample-major (s*15 + c) -> row-major reshape to [N,T,15]
+        geo = outs[4].T[:N].reshape(N, T, 15)
+    return f_img.T[:N], depth[0, :N], wsum[0, :N], w_out.T[:N], geo
+
+
 # ---------------------------------------------------------------------------
 # Proposal-level megakernel: same fusion (geometry + prop MLP + alpha
 # compositing) but emits the per-sample WEIGHTS [N, T] that sample_pdf
@@ -616,13 +694,20 @@ def _trunk_bwd_accum(dh, w_vals, inputs, skip_layer, compute_dtype,
 
 def _make_final_train_kernel(T, G, n_layers, skip_layer, freq_degree,
                              grid_bound, opaque_last, db, compute_dtype,
-                             cp_rank=0, cp_res=0):
+                             cp_rank=0, cp_res=0, geo_out=False):
     n_cp = 3 if cp_rank else 0
 
     def kernel(pf_ref, o_ref, d_ref, bins_ref, sh_ref, *refs):
         w_refs = refs[:n_layers]
         cb_refs = refs[n_layers:n_layers + n_cp]
-        fimg_ref, depth_ref, wsum_ref, w_out_ref = refs[n_layers + n_cp:]
+        if geo_out:
+            # geo_ref rows are [sample-major | channel-minor]: row s*15+c
+            # holds channel c of sample s, so the host-side reshape
+            # [N, 15*T] -> [N, T, 15] is a free row-major view
+            (fimg_ref, depth_ref, wsum_ref, w_out_ref,
+             geo_ref) = refs[n_layers + n_cp:]
+        else:
+            fimg_ref, depth_ref, wsum_ref, w_out_ref = refs[n_layers + n_cp:]
         o = o_ref[:].astype(jnp.float32)
         dd = d_ref[:].astype(jnp.float32)
         sh = sh_ref[:].astype(jnp.float32)
@@ -656,6 +741,8 @@ def _make_final_train_kernel(T, G, n_layers, skip_layer, freq_degree,
                 depth = depth + w_s * t_sl[g]
                 wsum = wsum + w_s
                 w_out_ref[s:s + 1, :] = w_s
+                if geo_out:
+                    geo_ref[s * 15:(s + 1) * 15, :] = h[1:, sl]
         fimg_ref[0:15, :] = f_feat
         fimg_ref[15:, :] = wsum * sh  # sum_s w_s*sh in closed form
         depth_ref[:] = depth

@@ -27,10 +27,11 @@ from ..ops import (
     near_far_from_aabb,
     proposal_loss,
     sample_pdf,
+    sh_encode,
     spacing_fn,
     spacing_fn_inv,
 )
-from ..models.fields import SANeRFField, GEOM_FEAT_DIM, SH_DIM
+from ..models.fields import SANeRFField, GEOM_FEAT_DIM, SH_DEGREE, SH_DIM
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +49,12 @@ class RenderSettings:
     sam_use_view_direction: bool = False
     compute_losses: bool = False  # proposal + distortion losses
     max_ray_batch: int = 16384
+    # stage-2/3 contract: the NeRF backbone is frozen by the optimizer
+    # mask (reference main.py:249-256), so the side-output paths
+    # (return_feats / return_mask) may run the backbone render through the
+    # non-differentiable inference megakernels under stop_gradient —
+    # only the trainable feature/mask branch stays on the backward graph
+    frozen_backbone: bool = False
 
 
 def render_rays(
@@ -120,17 +127,24 @@ def render_rays(
     # per-sample side outputs are needed (ops/render_level_pallas.py)
     from ..ops.fused_mlp import PALLAS_ENABLED
 
-    fused_capable = (
-        PALLAS_ENABLED
-        and not settings.return_feats
-        and not settings.return_mask
-        and getattr(field, "supports_fused_final", False)
-    )
+    side_outputs = settings.return_feats or settings.return_mask
+    fused_backbone_ok = PALLAS_ENABLED and getattr(
+        field, "supports_fused_final", False)
+    fused_capable = fused_backbone_ok and not side_outputs
     fused_final = fused_capable and not settings.training
     # training megakernels: custom-VJP level kernels (round 2) — same
     # fusion, gradients for the MLP weights computed by Pallas backward
     # kernels (ops/render_level_pallas.py)
     fused_train = fused_capable and settings.training
+    # side-output paths with a frozen backbone (stage-2 distill, stage-3
+    # mask, and all side-output EVAL renders): backbone through the
+    # inference megakernels under stop_gradient; per-sample weights and
+    # (for the mask branch) trunk features come back from VMEM, and only
+    # the s_grid/m_grid + samvit/mask-MLP branch is differentiable
+    fused_frozen = (
+        fused_backbone_ok and side_outputs and not settings.compute_losses
+        and (not settings.training or settings.frozen_backbone)
+    )
     fused_out = None
 
     bins_folded = None
@@ -159,7 +173,20 @@ def render_rays(
                 rays_o, rays_d, real_bins, opaque_last=opaque,
             )
             break
-        if fused_final and level < n_levels - 1:
+        if fused_frozen and level == n_levels - 1:
+            f_img_k, depth_k, wsum_k, weights, geo_feat = \
+                field.fused_final_render_frozen(
+                    rays_o, rays_d, real_bins, opaque_last=opaque,
+                    need_geo=settings.return_mask)
+            fused_out = (f_img_k, depth_k, wsum_k)
+            rays_t = (real_bins[..., 1:] + real_bins[..., :-1]) / 2.0
+            xyzs_final = (rays_o[:, None, :]
+                          + rays_d[:, None, :] * rays_t[..., None])
+            if settings.use_contract:
+                xyzs_final = contract(xyzs_final)
+            xyzs_final = jax.lax.stop_gradient(xyzs_final)
+            break
+        if (fused_final or fused_frozen) and level < n_levels - 1:
             # proposal megakernel WITH folded inverse-CDF resampling: the
             # next level's s-space bins come straight out of VMEM; the
             # per-sample weights never reach HBM (ops/render_level_pallas.
@@ -175,7 +202,7 @@ def render_rays(
                 ) / Tn
             bins_folded = field.fused_prop_next_bins(
                 rays_o, rays_d, real_bins, bins, u, proposal=level,
-                opaque_last=opaque,
+                opaque_last=opaque, frozen=fused_frozen,
             )
             continue
         if fused_train and level == n_levels - 1:
@@ -269,7 +296,12 @@ def render_rays(
                 [f_sam, f_image, image, depth[..., None]], axis=-1
             )  # [N, 128+31+3+1]
         else:
-            geo_sum = jnp.sum(weights[..., None] * geo_feat, axis=-2)
+            if geo_feat is None:
+                # fused frozen path: the kernel already composited the
+                # trunk features — f_image[:, :15] IS sum_s w_s*geo_feat
+                geo_sum = f_image[..., :GEOM_FEAT_DIM]
+            else:
+                geo_sum = jnp.sum(weights[..., None] * geo_feat, axis=-2)
             f = jnp.concatenate([f_sam, geo_sum, image, depth[..., None]], axis=-1)
         results["samvit"] = field.apply_samvit_mlp(f)  # [N, 256]
 
@@ -282,6 +314,16 @@ def render_rays(
                 [masks, jax.lax.stop_gradient(geo_feat)], axis=-1
             )
         else:
+            if colors is None:
+                # fused frozen path: rebuild per-sample colors
+                # [geo_feat | sh] (sh is per-ray constant)
+                dn = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+                sh = sh_encode(dn, SH_DEGREE)  # [N, 16]
+                colors = jnp.concatenate(
+                    [geo_feat,
+                     jnp.broadcast_to(sh[:, None, :],
+                                      (*geo_feat.shape[:2], sh.shape[-1]))],
+                    axis=-1)
             m = jnp.concatenate(
                 [masks, jax.lax.stop_gradient(colors)], axis=-1
             )

@@ -162,7 +162,9 @@ def train_sam_distill(trainer: Trainer, scene: Scene, sam_predictor,
     rendered feature map onto it."""
     cfg = trainer.cfg
     iters = iters or cfg.iters
-    distill_step = make_sam_distill_step(trainer.model, cfg)
+    distill_step = make_sam_distill_step(
+        trainer.model, cfg,
+        frozen_backbone=getattr(trainer, "backbone_frozen", False))
     cache = Cache(cfg.cache_size) if cfg.cache_size > 0 else None
     R = cfg.online_resolution
     render_and_encode = None
@@ -226,7 +228,9 @@ def train_mask(trainer: Trainer, scene: Scene, iters: Optional[int] = None):
     cfg = trainer.cfg
     iters = iters or cfg.iters
     assert scene.masks is not None, "stage-3 requires object masks"
-    mask_step = make_mask_train_step(trainer.model, cfg)
+    mask_step = make_mask_train_step(
+        trainer.model, cfg,
+        frozen_backbone=getattr(trainer, "backbone_frozen", False))
     S = cfg.error_map_size
     V = scene.poses.shape[0]
     error_map = jnp.ones((V, S * S), jnp.float32)  # init (provider.py:745-748)

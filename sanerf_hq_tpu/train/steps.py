@@ -152,14 +152,18 @@ def make_rgb_train_step(model, cfg: Config, donate: bool = True):
     return train_step
 
 
-def make_sam_distill_step(model, cfg: Config, feat_hw: int = 64):
+def make_sam_distill_step(model, cfg: Config, feat_hw: int = 64,
+                          frozen_backbone: bool = False):
     """Stage-2 distillation step (nerf/trainer.py:507-555, distill branch):
     render the 64x64 feature map from the s_grid field and regress it onto
     the HQ-SAM encoder's ground-truth features with MSE.
 
     batch: rays_o_lr / rays_d_lr [h*w, 3], gt_samvit [gh, gw, 256],
     optional cam_near_far.  NeRF backbone params are frozen via the
-    optimizer freeze mask (main.py:249-256)."""
+    optimizer freeze mask (main.py:249-256); pass frozen_backbone=True
+    (the trainer checks the mask) to route the backbone render through the
+    stop-gradient inference megakernels — only the s_grid/samvit branch
+    stays on the backward graph."""
     settings = RenderSettings(
         num_steps=tuple(cfg.num_steps),
         use_contract=cfg.contract,
@@ -171,6 +175,7 @@ def make_sam_distill_step(model, cfg: Config, feat_hw: int = 64):
         compute_losses=False,
         return_feats=True,
         sam_use_view_direction=cfg.sam_use_view_direction,
+        frozen_backbone=frozen_backbone,
     )
     reg_loss = _grid_regularizers(model, cfg, "sam")
 
@@ -263,7 +268,7 @@ def label_regularization(depth, pred_masks, patch_size: int, n_inst: int):
     )
 
 
-def make_mask_train_step(model, cfg: Config):
+def make_mask_train_step(model, cfg: Config, frozen_backbone: bool = False):
     """Stage-3 object-field step (nerf/trainer.py:401-505).
 
     batch keys:
@@ -286,6 +291,7 @@ def make_mask_train_step(model, cfg: Config):
         training=True,
         compute_losses=False,
         return_mask=True,
+        frozen_backbone=frozen_backbone,
     )
     Ng = cfg.num_rays
     Nl = cfg.num_local_sample * cfg.local_sample_patch_size ** 2

@@ -44,6 +44,26 @@ class Logger:
             f.write(msg + "\n")
 
 
+# top-level param-collection names of the NeRF backbone (MLPField): the
+# weights the fused render megakernels consume.  Side-output steps may
+# only take the frozen-backbone fast path when ALL of these are frozen.
+_BACKBONE_KEYS = ("trunk", "prop_mlp_0", "prop_mlp_1", "view_mlp",
+                  "cp_x", "cp_y", "cp_z",
+                  "grid", "prop_grid_0", "prop_grid_1", "sigma_mlp")
+
+
+def _backbone_all_frozen(freeze_mask) -> bool:
+    """True iff the freeze mask freezes every backbone param present."""
+    if freeze_mask is None:
+        return False
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(
+        flax.core.unfreeze(freeze_mask["params"]))
+    hits = [v for path, v in flat.items() if path[0] in _BACKBONE_KEYS]
+    return bool(hits) and all(bool(v) for v in hits)
+
+
 class Trainer:
     def __init__(self, name: str, cfg: Config, model, workspace: str,
                  sam_predictor=None, use_checkpoint: str = "latest",
@@ -68,6 +88,10 @@ class Trainer:
             freeze_mask = freeze_mask_from_loaded(params, init_params)
             self.log(f"[INFO] loaded {len(loaded_keys)} param tensors from "
                      f"init checkpoint (frozen)")
+        # True iff every NeRF-backbone param is frozen by the mask: the
+        # stage-2/3 steps may then render the backbone through the
+        # stop-gradient inference megakernels (renderer frozen_backbone)
+        self.backbone_frozen = _backbone_all_frozen(freeze_mask)
 
         lr_scales = None
         from ..models.mlp_field import MLPField
