@@ -21,13 +21,32 @@ BENCH_RAYS, BENCH_ITERS, BENCH_MODE=all|render|train|parity|distill|mask
 (all = render + train + parity + stage-2 distill + stage-3 mask rates in
 one JSON line), BENCH_CP (CP feature rank of the mlp field; default 64 =
 the CLI flagship default, 0 = the plain freq-MLP), BENCH_FEAT_REP=cp|
-hashgrid (stage-2/3 feature container; cp = shipping default).
+hashgrid (stage-2/3 feature container; cp = shipping default),
+BENCH_BUDGET_S (wall-clock budget, default 420 s: modes that do not fit
+are skipped and recorded in "skipped_modes" — an unattended run must emit
+its JSON before the driver timeout, not after).
+
+Output discipline: in "all" mode the render headline line is printed and
+flushed the moment render_bench finishes, so even a hard external timeout
+later in the run leaves a parseable record; the final enriched line
+(same headline fields + train/distill/mask/parity attachments) is printed
+at the end and supersedes it.
 """
 import json
 import os
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _elapsed():
+    return time.perf_counter() - _T0
+
+
+def _emit(record):
+    print(json.dumps(record), flush=True)
 
 
 def _mlp_kwargs(field_type):
@@ -387,17 +406,44 @@ def render_bench():
     }
 
 
+# Conservative cold-compile wall-time estimates per attachment mode (s):
+# a mode is only started when it fits inside BENCH_BUDGET_S.  With a warm
+# persistent compile cache every mode runs in seconds; these bounds only
+# bite on a fully cold host, where finishing with a partial record beats
+# a timeout with no record (VERDICT r4 #1: BENCH_r04 was rc=124/parsed
+# null because all-mode compiles overran the driver timeout).
+_MODE_EST_S = {"train": 120.0, "distill": 90.0, "mask": 120.0,
+               "parity": 120.0}
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "all")
     field_type = os.environ.get("BENCH_FIELD", "mlp")
+    budget = float(os.environ.get("BENCH_BUDGET_S", 420))
+    from sanerf_hq_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
 
     # a tunnel outage silently falls back to CPU; stamp the platform so a
     # CPU run can never masquerade as a TPU number in BENCH_r*.json
     record = {"platform": jax.devices()[0].platform}
+    skipped = []
+
+    def fits(m):
+        if mode != "all":
+            return True  # explicitly requested single mode: always run
+        if _elapsed() + _MODE_EST_S[m] <= budget:
+            return True
+        skipped.append(m)
+        return False
+
     if mode in ("all", "render"):
         record.update(render_bench())
-    if mode in ("all", "train"):
+        if mode == "all":
+            # early headline: survives a later external timeout
+            _emit(dict(record, partial=True))
+    if mode in ("all", "train") and fits("train"):
         tr = train_bench()
         if mode == "train":  # standalone: promote to headline fields
             record.update({
@@ -407,7 +453,7 @@ def main():
                 "vs_baseline": tr["train_mrays_per_sec"] / 2.0,
             })
         record.update(tr)
-    if mode in ("all", "distill"):
+    if mode in ("all", "distill") and fits("distill"):
         d = distill_bench()
         if mode == "distill":
             record.update({
@@ -417,7 +463,7 @@ def main():
                 "vs_baseline": d["distill_steps_per_sec"],
             })
         record.update(d)
-    if mode in ("all", "mask"):
+    if mode in ("all", "mask") and fits("mask"):
         mk = mask_bench()
         if mode == "mask":
             record.update({
@@ -427,13 +473,16 @@ def main():
                 "vs_baseline": mk["mask_mrays_per_sec"] / 2.0,
             })
         record.update(mk)
-    if mode in ("all", "parity") and field_type == "mlp":
+    if mode in ("all", "parity") and field_type == "mlp" and fits("parity"):
         try:
             record.update(parity_check())
         except Exception as e:  # parity is an attachment, not the headline
             record.update({"grad_parity": "error",
                            "grad_parity_error": f"{type(e).__name__}: {e}"})
-    print(json.dumps(record))
+    if skipped:
+        record["skipped_modes"] = skipped
+    record["bench_elapsed_s"] = round(_elapsed(), 1)
+    _emit(record)
 
 
 if __name__ == "__main__":

@@ -385,13 +385,15 @@ def _stack_images(paths, H, W):
 def split_indices(n_views: int, split: str, val_type: str = "default",
                   test_view_names=None, img_names=None,
                   auto_seg: bool = False):
-    """Reference split logic (provider.py:611-664):
-      train: default -> all but every 8th held out is NOT used; the reference
-      uses slicing: train = indices not in val; val default = every 8th? It
-      actually uses [::8] for val in 'default' mode via val_type.
+    """Reference split logic (provider.py:611-664): val 'default' holds
+    out every 16th view (all_ids[::16], provider.py:620-621) and train is
+    everything else; 'val_all' puts every view in val (train empty);
+    'val_split' selects val views whose image-name stem appears in the
+    test-view list (provider.py:632) and falls back to ::16 when the list
+    is unavailable (pass test_view_names=None).
 
-    auto_seg overrides both (provider.py:636-644): val = the first 100
-    views (hard-coded in the reference), train = ALL views.
+    auto_seg overrides all of the above (provider.py:636-644): val = the
+    first 100 views (hard-coded in the reference), train = ALL views.
     """
     all_idx = np.arange(n_views)
     if auto_seg:
@@ -399,10 +401,19 @@ def split_indices(n_views: int, split: str, val_type: str = "default",
             return all_idx
         return all_idx[:100]
     if val_type == "val_all":
-        return all_idx if split != "train" else all_idx
+        # reference provider.py:622-623,641-642: val_ids = ALL views and
+        # train = [i not in val_ids] = EMPTY.  val_all is only meaningful
+        # with stage-2 cache mode, which never runs the training loop.
+        return all_idx if split != "train" else all_idx[:0]
     if val_type == "val_split" and test_view_names is not None and img_names is not None:
-        test_set = set(test_view_names)
-        is_test = np.array([n in test_set for n in img_names])
+        # reference provider.py:632 matches image-name STEMS
+        # (img_names[idx][:-4]) against the test-view list, so a
+        # reference-format json ({"test_view_list": ["frame_0012", ...]})
+        # must select views regardless of extension.  Compare stems on
+        # BOTH sides so either convention works.
+        test_set = {os.path.splitext(n)[0] for n in test_view_names}
+        is_test = np.array(
+            [os.path.splitext(str(n))[0] in test_set for n in img_names])
         if split in ("train", "all", "trainval"):
             return all_idx[~is_test]
         return all_idx[is_test]

@@ -423,13 +423,20 @@ class Trainer:
             np.save(os.path.join(save_dir, f"{stem}_depth.npy"),
                     out["depth"].reshape(scene.H, scene.W))
             if extra == "sam":
-                # low-res feature rays, same camera (provider.py:1091-1106)
-                s = 64.0 / max(scene.H, scene.W)
+                # aspect-preserving low-res feature rays, same camera
+                # (provider.py:1091-1106 uses a square online camera; with
+                # native W != H intrinsics the SAM-aligned render is the
+                # fh x fw valid block of the padded 64x64 grid —
+                # lowres_feature_camera docstring)
+                from .stages import lowres_feature_camera
+
+                f_intr, fh, fw = lowres_feature_camera(
+                    intr, scene.H, scene.W)
                 ro, rd = full_frame_rays(jnp.asarray(scene.poses[i]),
-                                         jnp.asarray(intr) * s, 64, 64)
+                                         jnp.asarray(f_intr), fh, fw)
                 fo = extra_render(self.state.params, ro, rd)
                 np.save(os.path.join(save_dir, f"{stem}_sam.npy"),
-                        np.asarray(fo["samvit"]).reshape(64, 64, -1))
+                        np.asarray(fo["samvit"]).reshape(fh, fw, -1))
             elif extra == "mask":
                 ro, rd = full_frame_rays(jnp.asarray(scene.poses[i]),
                                          jnp.asarray(intr), scene.H, scene.W)

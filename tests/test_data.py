@@ -186,10 +186,20 @@ def test_split_indices():
     assert set(idx) & set(val) == set()
     assert list(val) == [0, 16]  # every 16th (provider.py:620-621)
     names = np.array([f"i{i}.png" for i in range(6)])
-    tr = split_indices(6, "train", "val_split", ["i2.png", "i4.png"], names)
-    te = split_indices(6, "val", "val_split", ["i2.png", "i4.png"], names)
+    # reference-format test-view list: STEMS without extension
+    # (provider.py:632 compares img_names[idx][:-4] to the list) — a
+    # stems json must select the right val views and exclude them from
+    # train, not silently match zero views
+    tr = split_indices(6, "train", "val_split", ["i2", "i4"], names)
+    te = split_indices(6, "val", "val_split", ["i2", "i4"], names)
     assert list(te) == [2, 4]
     assert 2 not in tr and 4 not in tr
+    # extension-qualified entries keep working (stems compared both sides)
+    te2 = split_indices(6, "val", "val_split", ["i2.png", "i4.png"], names)
+    assert list(te2) == [2, 4]
+    # val_all: every view is val and train is EMPTY (provider.py:622,641-642)
+    assert list(split_indices(6, "val", "val_all")) == list(range(6))
+    assert len(split_indices(6, "train", "val_all")) == 0
 
 
 def test_sample_rgb_batch_per_view_intrinsics():
@@ -424,3 +434,36 @@ def test_sparse_depth_near_far_parity():
     nf = _sparse_depth_near_far({1: im}, [1], ptsdata, ptskeys,
                                 pose[None], pts3d, {1: cam})
     np.testing.assert_allclose(nf[0], [2.0, 9.0], rtol=1e-6)
+
+
+def test_lowres_feature_camera_nonsquare():
+    """SAM-aligned low-res feature camera for W != H views (VERDICT r4
+    #4): the aspect-preserving fh x fw render must look along exactly the
+    same rays as the full-res camera at positions (u*W/fw, v*H/fh) — the
+    layout of a SAM encoder feature map with its bottom/right padding
+    stripped (predictor set_image resize-longest-side convention)."""
+    import jax.numpy as jnp
+
+    from sanerf_hq_tpu.data.rays import full_frame_rays, rays_from_pixels
+    from sanerf_hq_tpu.train.stages import lowres_feature_camera
+
+    H, W = 48, 96
+    intr = np.array([80.0, 70.0, 50.0, 22.0], np.float32)
+    f_intr, fh, fw = lowres_feature_camera(intr, H, W, grid=16)
+    assert (fh, fw) == (8, 16)  # long side -> grid, aspect preserved
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.3, -0.2, 1.0]
+    ro, rd = full_frame_rays(jnp.asarray(pose), jnp.asarray(f_intr), fh, fw)
+    jj, ii = np.meshgrid(np.arange(fw), np.arange(fh))
+    x_full = (jj.reshape(-1) + 0.5) * (W / fw)
+    y_full = (ii.reshape(-1) + 0.5) * (H / fh)
+    ro2, rd2 = rays_from_pixels(
+        jnp.asarray(pose), jnp.asarray(intr),
+        jnp.asarray(x_full, jnp.float32), jnp.asarray(y_full, jnp.float32))
+    np.testing.assert_allclose(np.asarray(rd), np.asarray(rd2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ro), np.asarray(ro2), atol=1e-6)
+    # square views keep the old behavior: 64 x 64 at uniform scale
+    sq_intr, sh, sw = lowres_feature_camera(
+        np.array([100.0, 100.0, 64.0, 64.0], np.float32), 128, 128)
+    assert (sh, sw) == (64, 64)
+    np.testing.assert_allclose(sq_intr, [50.0, 50.0, 32.0, 32.0])
