@@ -203,9 +203,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--density_bias", type=float, default=0.0,
                    help="initial density shift: sigma = exp(raw + bias) "
                         "(mlp field)")
-    p.add_argument("--on_device_sam", action="store_true",
+    p.add_argument("--on_device_sam", action="store_true", default=None,
+                   dest="on_device_sam",
                    help="fuse render->SAM-encode into one jitted program "
-                        "during distillation (no host round-trip)")
+                        "during distillation (no host round-trip).  Default: "
+                        "auto — ON when running on TPU, OFF on CPU (where "
+                        "the fused ViT encode compile dominates)")
+    p.add_argument("--no_on_device_sam", action="store_false",
+                   dest="on_device_sam", help="force the host round-trip "
+                   "distill path (reference nerf/trainer.py:518-520)")
     return p
 
 
@@ -447,9 +453,15 @@ def main(argv=None):
         if cfg.feature_container == "cache":
             stages.store_sam_features(trainer, val_scene, sam_predictor)
         else:
+            on_device = getattr(args, "on_device_sam", None)
+            if on_device is None:
+                # auto: the fused render->encode program is the TPU-native
+                # path (SURVEY §7 'hard parts'); on CPU the host loop wins
+                import jax
+
+                on_device = jax.default_backend() == "tpu"
             stages.train_sam_distill(trainer, train_scene, sam_predictor,
-                                     on_device=getattr(args, "on_device_sam",
-                                                       False))
+                                     on_device=on_device)
             # stage-2 eval: rendered-feature MSE (nerf/trainer.py:648-691)
             stages.evaluate_sam_features(trainer, val_scene, sam_predictor)
     elif cfg.with_mask:

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -108,6 +109,53 @@ class HashGridSpec:
         return self.level_dim * (2 ** self.input_dim if self.packed else 1)
 
 
+# One-hot-matmul backward for SMALL DENSE levels (VERDICT r4 #10 /
+# docs/PERF.md "Hash-grid backward strategies"): grad_table = onehot(idx)^T
+# @ g is MXU work at 307 M upd/s vs scatter_add's 24.9 M upd/s, but its
+# cost scales with table rows — parity at ~64k rows, so only levels with
+# size <= this threshold take the matmul path.  SANERF_HASH_ONEHOT_ROWS=0
+# disables it (pure scatter_add backward everywhere).
+_ONEHOT_MAX_ROWS = int(os.environ.get("SANERF_HASH_ONEHOT_ROWS", 16384))
+
+
+@jax.custom_vjp
+def _take_onehot_bwd(table, idx):
+    """jnp.take(table, idx, 0) whose BACKWARD is a chunked one-hot matmul
+    instead of scatter_add.  table: [rows, C]; idx: [B] int32."""
+    return jnp.take(table, idx, axis=0)
+
+
+def _take_onehot_fwd(table, idx):
+    return jnp.take(table, idx, axis=0), (idx, table.shape[0])
+
+
+def _take_onehot_back(res, g):
+    idx, rows = res
+    B = idx.shape[0]
+    C = g.shape[-1]
+    # chunk so the materialized one-hot [CH, rows] stays ~32M elements
+    ch = min(B, max(512, (1 << 25) // max(rows, 1)))
+    pad = (-B) % ch
+    idx_p = jnp.pad(idx, (0, pad))  # padded grads are zero -> no effect
+    g_p = jnp.pad(g, ((0, pad), (0, 0)))
+    iota = jnp.arange(rows, dtype=jnp.int32)
+
+    def body(acc, xs):
+        i, gg = xs
+        oh = (i[:, None] == iota[None, :]).astype(jnp.float32)  # [ch, rows]
+        return acc + jnp.einsum(
+            "br,bc->rc", oh, gg.astype(jnp.float32),
+            preferred_element_type=jnp.float32), None
+
+    acc0 = jnp.zeros((rows, C), jnp.float32)
+    grad, _ = jax.lax.scan(
+        body, acc0, (idx_p.reshape(-1, ch), g_p.reshape(-1, ch, C)))
+    return grad.astype(g.dtype), np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_take_onehot_bwd.defvjp(_take_onehot_fwd, _take_onehot_back)
+
+
 def init_hash_table(key, spec: HashGridSpec, dtype=jnp.float32):
     """U(-1e-4, 1e-4) init, matching grid.py:144-146."""
     return jax.random.uniform(
@@ -177,7 +225,7 @@ def hash_encode_unit(table, x, spec: HashGridSpec, max_level: Optional[int] = No
         if spec.interpolation == "smoothstep":
             frac = frac * frac * (3.0 - 2.0 * frac)
 
-        acc = jnp.zeros((x.shape[0], C), dtype=jnp.float32)
+        ws, flats = [], []
         for cidx in range(1 << D):
             w = jnp.ones((x.shape[0],), dtype=jnp.float32)
             corner = []
@@ -189,9 +237,19 @@ def hash_encode_unit(table, x, spec: HashGridSpec, max_level: Optional[int] = No
                     w = w * (1.0 - frac[:, d])
                     corner.append(pos_grid[:, d])
             corner = jnp.stack(corner, axis=-1)  # [B, D]
-            flat = offset + _level_index(corner, res, size, use_hash, D)
-            vals = jnp.take(table, flat, axis=0)  # [B, C]
-            acc = acc + w[:, None] * vals.astype(jnp.float32)
+            ws.append(w)
+            flats.append(_level_index(corner, res, size, use_hash, D))
+        w_all = jnp.stack(ws)                       # [2^D, B]
+        idx_all = jnp.stack(flats).reshape(-1)      # [2^D * B]
+        if not use_hash and size <= _ONEHOT_MAX_ROWS:
+            # small dense level: slice the level subtable (grad = cheap
+            # pad) and gather with the one-hot-matmul backward
+            lvl = jax.lax.slice_in_dim(table, offset, offset + size, axis=0)
+            vals = _take_onehot_bwd(lvl, idx_all)
+        else:
+            vals = jnp.take(table, offset + idx_all, axis=0)
+        vals = vals.reshape(1 << D, x.shape[0], C).astype(jnp.float32)
+        acc = jnp.sum(w_all[..., None] * vals, axis=0)
         outs.append(acc.astype(table.dtype))
 
     out = jnp.concatenate(outs, axis=-1)  # [B, L*C]
@@ -272,8 +330,12 @@ def _packed_encode(table, x, spec: HashGridSpec, max_level: int):
         if spec.interpolation == "smoothstep":
             frac = frac * frac * (3.0 - 2.0 * frac)
 
-        flat = offset + _level_index(pos_grid, res, size, use_hash, D)
-        rows = jnp.take(table, flat, axis=0)  # [B, 2^D * C]
+        flat = _level_index(pos_grid, res, size, use_hash, D)
+        if not use_hash and size <= _ONEHOT_MAX_ROWS:
+            lvl = jax.lax.slice_in_dim(table, offset, offset + size, axis=0)
+            rows = _take_onehot_bwd(lvl, flat)  # [B, 2^D * C]
+        else:
+            rows = jnp.take(table, offset + flat, axis=0)  # [B, 2^D * C]
         rows = rows.reshape(B, n_corners, C).astype(jnp.float32)
 
         # corner weights: bit d of corner index selects frac[d] vs 1-frac[d]

@@ -4,7 +4,7 @@ Reference: nerf/metrics.py:10-237 (PSNRMeter, SSIMMeter, LPIPSMeter,
 MeanIoUMeter, MSEMeter).  SSIM is a pure-JAX gaussian-window implementation
 (equivalent to torchmetrics' default: 11x11 window, sigma 1.5, k1=0.01,
 k2=0.03, data_range 1).  LPIPS uses torch-cpu lpips when available and
-degrades to unavailable otherwise (the TPU image never ships CUDA lpips).
+otherwise the pure-flax VGG16-LPIPS (train/lpips.py) — always available.
 
 Fixes vs reference: SSIMMeter there accumulates a tensor instead of a float
 (nerf/metrics.py:128-131, SURVEY §2.5) — not replicated.
@@ -102,35 +102,55 @@ class SSIMMeter(Meter):
 
 
 class LPIPSMeter(Meter):
+    """VGG-LPIPS (reference nerf/metrics.py:54-99).  Backend priority:
+    torch `lpips` package (exact reference parity) > pure-flax VGG16-LPIPS
+    with converted weights ($SANERF_LPIPS_WEIGHTS, scripts/convert_lpips.py)
+    > deterministic random-VGG perceptual proxy (train/lpips.py docstring).
+    Always available; `.mode` names the active backend."""
+
     name = "LPIPS"
     higher_better = False
 
-    def __init__(self, net: str = "vgg"):
+    def __init__(self, net: str = "vgg", weights_path=None):
         self.net_name = net
         self._fn = None
+        self.mode = "torch-lpips"
         try:
             import torch
             import lpips  # type: ignore
 
             self._torch = torch
-            self._fn = lpips.LPIPS(net=net).eval()
+            self._torch_fn = lpips.LPIPS(net=net).eval()
+            self._fn = self._torch_update
         except Exception:
-            self._fn = None
+            from .lpips import load_lpips_params, make_lpips_fn
+
+            params, self.mode = load_lpips_params(weights_path)
+            self._flax_fn = make_lpips_fn(params)
+            self._fn = self._flax_update
         super().__init__()
 
     @property
     def available(self):
-        return self._fn is not None
+        return True
 
-    def update(self, preds, truths):
-        if self._fn is None:
-            return
+    def report(self):
+        return f"{self.name}[{self.mode}] = {self.measure():.6f}"
+
+    def _torch_update(self, preds, truths):
         torch = self._torch
         p = torch.from_numpy(np.asarray(preds, np.float32)).permute(2, 0, 1)[None]
         t = torch.from_numpy(np.asarray(truths, np.float32)).permute(2, 0, 1)[None]
         with torch.no_grad():
-            v = self._fn(p * 2 - 1, t * 2 - 1)
-        self.V += float(v.item())
+            v = self._torch_fn(p * 2 - 1, t * 2 - 1)
+        return float(v.item())
+
+    def _flax_update(self, preds, truths):
+        return float(self._flax_fn(jnp.asarray(preds, jnp.float32),
+                                   jnp.asarray(truths, jnp.float32)))
+
+    def update(self, preds, truths):
+        self.V += self._fn(preds, truths)
         self.N += 1
 
 

@@ -28,6 +28,21 @@ from .steps import make_mask_train_step, make_sam_distill_step, make_eval_render
 from .trainer import Trainer, _save_image
 
 
+def _stage_shard(trainer):
+    """Data-parallel ray sharding for the stage-2/3 production loops —
+    the same mesh layout as the stage-1 trainer (trainer.py full_step):
+    rays sharded over the 'data' axis, params replicated, gradient
+    all-reduce implicit in jit partitioning.  None on a single device."""
+    if len(jax.devices()) <= 1:
+        return None
+    from ..parallel import make_mesh, data_sharding
+
+    cfg = trainer.cfg
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+    trainer.log(f"[INFO] sharding stage rays over mesh {dict(mesh.shape)}")
+    return data_sharding(mesh, cfg.mesh_axis_names[0])
+
+
 # ---------------------------------------------------------------------------
 # Stage 2 — SAM feature container
 # ---------------------------------------------------------------------------
@@ -93,9 +108,12 @@ def evaluate_sam_features(trainer: Trainer, scene: Scene, sam_predictor,
         # aspect-preserving low-res feature rays (provider.py:1091-1106
         # renders 64x64 from a square online camera; with native W != H
         # intrinsics the valid SAM-feature region is only the top-left
-        # fh x fw block of the padded 64x64 encoder grid, so render and
-        # compare exactly that block)
-        f_intr, fh, fw = lowres_feature_camera(intr, H, W)
+        # fh x fw block of the padded encoder grid, so render and
+        # compare exactly that block).  The grid is the PREDICTOR's
+        # (img_size/16 = 64 for the standard 1024 model; tiny test SAMs
+        # differ), not a constant.
+        f_intr, fh, fw = lowres_feature_camera(
+            intr, H, W, grid=sam_predictor.img_size // 16)
         ro, rd = full_frame_rays(jnp.asarray(scene.poses[i]),
                                  jnp.asarray(f_intr), fh, fw)
         fout = trainer._feat_render(trainer.state.params, ro, rd)
@@ -162,7 +180,8 @@ def train_sam_distill(trainer: Trainer, scene: Scene, sam_predictor,
     iters = iters or cfg.iters
     distill_step = make_sam_distill_step(
         trainer.model, cfg,
-        frozen_backbone=getattr(trainer, "backbone_frozen", False))
+        frozen_backbone=getattr(trainer, "backbone_frozen", False),
+        shard=_stage_shard(trainer))
     cache = Cache(cfg.cache_size) if cfg.cache_size > 0 else None
     R = cfg.online_resolution
     render_and_encode = None
@@ -228,7 +247,8 @@ def train_mask(trainer: Trainer, scene: Scene, iters: Optional[int] = None):
     assert scene.masks is not None, "stage-3 requires object masks"
     mask_step = make_mask_train_step(
         trainer.model, cfg,
-        frozen_backbone=getattr(trainer, "backbone_frozen", False))
+        frozen_backbone=getattr(trainer, "backbone_frozen", False),
+        shard=_stage_shard(trainer))
     S = cfg.error_map_size
     V = scene.poses.shape[0]
     error_map = jnp.ones((V, S * S), jnp.float32)  # init (provider.py:745-748)

@@ -381,15 +381,27 @@ class Trainer:
             out = self.render_view(scene.poses[i], intr, scene.H, scene.W,
                                    params=params, cam_near_far=cnf)
             pred = out["image"].reshape(scene.H, scene.W, 3)
+            gt = None
             if scene.images is not None:
                 gt = scene.images[i][..., :3]
                 for m in meters:
                     m.update(pred, gt)
             if save_dir is not None:
+                # reference validation artifact set (nerf/trainer.py:1613-1656):
+                # {stem}_rgb.png / _depth.npy / _gt.png, plus an error image
+                # (|gt - pred| mean over channels; the reference computes this
+                # at trainer.py:1645 behind a dead save_path_error)
                 os.makedirs(save_dir, exist_ok=True)
-                _save_image(os.path.join(save_dir, f"{i:04d}_rgb.png"), pred)
-                np.save(os.path.join(save_dir, f"{i:04d}_depth.npy"),
+                stem = (os.path.splitext(str(scene.img_names[i]))[0]
+                        if scene.img_names is not None else f"{i:04d}")
+                _save_image(os.path.join(save_dir, f"{stem}_rgb.png"), pred)
+                np.save(os.path.join(save_dir, f"{stem}_depth.npy"),
                         out["depth"].reshape(scene.H, scene.W))
+                if gt is not None:
+                    _save_image(os.path.join(save_dir, f"{stem}_gt.png"), gt)
+                    err = np.abs(gt.astype(np.float32) - pred).mean(-1)
+                    _save_image(os.path.join(save_dir, f"{stem}_error.png"),
+                                np.repeat(err[..., None], 3, -1))
         for m in meters:
             self.log("[EVAL] " + m.report())
         return meters[0].measure() if meters else 0.0

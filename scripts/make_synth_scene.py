@@ -25,7 +25,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from sanerf_hq_tpu.data.synthetic import make_rich_dataset, render_rich_scene  # noqa: E402
+from sanerf_hq_tpu.data.synthetic import (  # noqa: E402
+    make_clutter_dataset, make_rich_dataset, render_rich_scene)
 
 
 def write_images(root, d):
@@ -72,26 +73,28 @@ def export_llff(root, d, names):
         json.dump(meta, f, indent=2)
 
 
-def _surface_points(rng, n=400):
+def _surface_points(rng, n=400, scene="rich"):
     """Sparse points on the true scene surfaces (for points3D.bin)."""
-    from sanerf_hq_tpu.data.synthetic import _SPHERES, _PLANE_Y
+    from sanerf_hq_tpu.data.synthetic import _CL_SPHERES, _PLANE_Y, _SPHERES
 
+    spheres = _CL_SPHERES if scene == "clutter" else _SPHERES
+    per = n // (len(spheres) + 1)
     pts = []
-    for center, radius, _, _ in _SPHERES:
-        v = rng.normal(size=(n // 4, 3))
+    for center, radius, _, _ in spheres:
+        v = rng.normal(size=(per, 3))
         v /= np.linalg.norm(v, axis=-1, keepdims=True)
         pts.append(center + radius * v)
-    g = rng.uniform(-2.5, 2.5, size=(n - 3 * (n // 4), 3))
+    g = rng.uniform(-2.5, 2.5, size=(n - len(spheres) * per, 3))
     g[:, 1] = _PLANE_Y
     pts.append(g)
     return np.concatenate(pts).astype(np.float64)
 
 
-def export_colmap(root, d, names):
+def export_colmap(root, d, names, scene="rich"):
     from sanerf_hq_tpu.data.colmap import rotmat2qvec
 
     rng = np.random.default_rng(0)
-    pts = _surface_points(rng)
+    pts = _surface_points(rng, scene=scene)
     sp = os.path.join(root, "sparse", "0")
     os.makedirs(sp, exist_ok=True)
     fx, fy, cx, cy = [float(x) for x in d["intrinsics"]]
@@ -145,6 +148,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("root")
     ap.add_argument("--format", choices=["llff", "colmap"], default="llff")
+    ap.add_argument("--scene", choices=["rich", "clutter"], default="rich",
+                    help="rich: 4-object benchmark; clutter: the harder "
+                         "7-object high-frequency scene with extrapolated "
+                         "val views (writes test_views.json for "
+                         "--val_type val_split)")
     ap.add_argument("--n_views", type=int, default=24)
     ap.add_argument("--H", type=int, default=240)
     ap.add_argument("--W", type=int, default=320)
@@ -152,10 +160,19 @@ def main():
                     help="object for the decode-style binary masks")
     args = ap.parse_args()
 
-    d = make_rich_dataset(n_views=args.n_views, H=args.H, W=args.W)
+    if args.scene == "clutter":
+        d = make_clutter_dataset(n_views=args.n_views, H=args.H, W=args.W)
+    else:
+        d = make_rich_dataset(n_views=args.n_views, H=args.H, W=args.W)
     os.makedirs(args.root, exist_ok=True)
     names = write_images(args.root, d)
     write_masks(args.root, d, names, object_id=args.object_id)
+    if "val_names" in d:
+        # reference-format stems list (provider.py:632 semantics): the
+        # extrapolated views become the held-out val set via
+        # --val_type val_split --test_view_path <root>/test_views.json
+        with open(os.path.join(args.root, "test_views.json"), "w") as f:
+            json.dump({"test_view_list": d["val_names"]}, f)
     # 3-D point prompts on the default object's surface (sphere 0:
     # center (0,-0.1,0) r=0.5) — decode-stage input, schema of
     # example_points.json / utils/points.py:24-38.  The reference's point
@@ -170,8 +187,15 @@ def main():
     # gate rejects it from every low view.  Sunk 0.02 into the sphere the
     # projected pixel is >=2 px interior in all 24 views with worst
     # depth-gate residual 0.036 (GT) / 0.036 (trained-NeRF), measured.
-    raw = np.array([[0.0, 0.38, 0.0], [0.35, -0.1, 0.35],
-                    [-0.35, -0.1, -0.35]], np.float32)
+    if args.scene == "clutter":
+        # object 2 = sphere center (0,-0.05,0) r=0.45 (_CL_SPHERES[0]);
+        # same pole-sunk + interior-side layout as the rich prompts
+        side = (0.45 - 0.02) / np.sqrt(2.0)
+        raw = np.array([[0.0, 0.38, 0.0], [side, -0.05, side],
+                        [-side, -0.05, -side]], np.float32)
+    else:
+        raw = np.array([[0.0, 0.38, 0.0], [0.35, -0.1, 0.35],
+                        [-0.35, -0.1, -0.35]], np.float32)
     pts_ngp = raw[:, [1, 2, 0]] * ngp_scale
     with open(os.path.join(args.root, "example_points.json"), "w") as f:
         json.dump({"points": pts_ngp.tolist(),
@@ -180,7 +204,7 @@ def main():
     if args.format == "llff":
         export_llff(args.root, d, names)
     else:
-        export_colmap(args.root, d, names)
+        export_colmap(args.root, d, names, scene=args.scene)
     print(f"wrote {len(names)} views to {args.root} ({args.format})")
 
 

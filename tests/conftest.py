@@ -33,3 +33,50 @@ except OSError:
 _mach = hashlib.sha1(_flags.encode()).hexdigest()[:10]
 jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_test_cache_{_mach}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import pytest  # noqa: E402
+
+# Tiered suite (VERDICT r4 #9): tests measured >=15 s (compile-heavy
+# integration paths; `pytest --durations` on this host, warm cache) are
+# marked `slow` here centrally so `pytest -m "not slow"` is the fast unit
+# core for iteration.  test_pipeline_e2e.py marks itself via pytestmark.
+# The FULL suite (no -m filter) remains the green-gate.
+_SLOW = {
+    "test_parallel.py::test_sharded_train_step_8dev",
+    "test_parallel.py::test_1dev_vs_8dev_training_equivalence",
+    "test_parallel.py::test_sharded_eval_psum_matches_single_device",
+    "test_parallel.py::test_stage23_sharded_step_equivalence",
+    "test_train_smoke.py::test_rgb_overfit_smoke",
+    "test_train_smoke.py::test_heldout_psnr_tracks_train",
+    "test_train_smoke.py::test_mlp_field_overfit_smoke",
+    "test_train_smoke.py::test_eval_render_shapes",
+    "test_regularizers.py::test_lambda_flags_change_training",
+    "test_stages.py::test_adaptive_num_rays_steady_state",
+    "test_stages.py::test_return_extra_outputs",
+    "test_stages.py::test_cp_feature_containers_distill_and_mask",
+    "test_stages.py::test_evaluate_sam_features",
+    "test_stages.py::test_mask_step_and_error_map",
+    "test_stages.py::test_sam_distill_step_runs_and_freezes_backbone",
+    "test_stages.py::test_decode_pipeline",
+    "test_stages.py::test_on_device_render_and_encode",
+    "test_stages.py::test_update_error_map_nonsquare",
+    "test_stages.py::test_error_map_guided_sampling_distribution",
+    "test_web_viewer.py::test_spp_accumulation",
+    "test_web_viewer.py::test_click_picks_point_and_saves",
+    "test_web_viewer.py::test_aabb_crop",
+    "test_web_viewer.py::test_index_and_frame",
+    "test_sam.py::test_tiny_sam_end_to_end[False]",
+    "test_sam.py::test_tiny_sam_end_to_end[True]",
+    "test_render_level_kernels.py::test_final_level_forward_and_vjp",
+    "test_renderer_fused.py::test_fused_training_matches_composable",
+    "test_renderer_fused.py::test_fused_inference_matches_composable",
+    "test_renderer_golden.py::test_renderer_golden",
+    "test_frozen_side_path.py::test_frozen_distill_step_matches_composable",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.nodeid.split("/")[-1]
+        if name in _SLOW:
+            item.add_marker(pytest.mark.slow)

@@ -216,3 +216,34 @@ def test_packed_encode_matches_manual_trilinear():
     g = jax.grad(lambda t: jnp.sum(
         hash_encode_unit(t, jnp.asarray(x), spec)))(table)
     assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_onehot_backward_parity(monkeypatch):
+    """Small dense levels take the one-hot-matmul backward (docs/PERF.md
+    'Hash-grid backward strategies'); its grad must equal the scatter_add
+    path bit-for-bit-ish on both the unpacked and packed encoders."""
+    import sanerf_hq_tpu.ops.hashgrid as hg
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 1, size=(257, 3)), jnp.float32)
+
+    for packed in (False, True):
+        spec = HashGridSpec(num_levels=4, level_dim=2, base_resolution=4,
+                            log2_hashmap_size=10, desired_resolution=32,
+                            packed=packed)
+        # levels are a mix of dense-below-threshold and hashed
+        metas = spec.level_meta()
+        assert any(not h and s <= 16384 for _, _, s, h in metas)
+        table = init_hash_table(jax.random.PRNGKey(1), spec)
+
+        def loss(t):
+            return jnp.sum(jnp.sin(3.0 * hash_encode_unit(t, x, spec)))
+
+        monkeypatch.setattr(hg, "_ONEHOT_MAX_ROWS", 16384)
+        hash_encode_unit._clear_cache()
+        g_mm = np.asarray(jax.grad(loss)(table))
+        monkeypatch.setattr(hg, "_ONEHOT_MAX_ROWS", 0)
+        hash_encode_unit._clear_cache()
+        g_sc = np.asarray(jax.grad(loss)(table))
+        np.testing.assert_allclose(g_mm, g_sc, rtol=1e-5, atol=1e-7)
+        assert np.abs(g_mm).sum() > 0

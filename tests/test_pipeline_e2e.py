@@ -19,6 +19,8 @@ from sanerf_hq_tpu.train.trainer import Trainer
 from sanerf_hq_tpu.utils.points import PointPrompts
 from tests.test_sam import tiny_sam
 
+pytestmark = pytest.mark.slow  # ~20 min cold: full 3-stage pipeline
+
 SMALL = dict(
     main_spec=HashGridSpec(num_levels=4, level_dim=2, base_resolution=8,
                            log2_hashmap_size=12, desired_resolution=64),
