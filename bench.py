@@ -355,8 +355,12 @@ def render_bench():
     from sanerf_hq_tpu.render import RenderSettings, render_rays
 
     field_type = os.environ.get("BENCH_FIELD", "mlp")
+    # 32 chained renders ~= 0.75 s of device time for the mlp field: long
+    # enough that tunnel jitter in the two perf_counter windows stops
+    # dominating the per-render estimate (k-sweep probe: 23 ms/render flat
+    # from k=2 to k=33), still trivial against the compile cost.
     n_rays = int(os.environ.get("BENCH_RAYS", 65536))
-    iters = int(os.environ.get("BENCH_ITERS", 8 if field_type == "mlp" else 2))
+    iters = int(os.environ.get("BENCH_ITERS", 32 if field_type == "mlp" else 2))
 
     model = make_field(field_type, grid_bound=2.0,
                        **_mlp_kwargs(field_type))
@@ -429,6 +433,19 @@ def main():
     # CPU run can never masquerade as a TPU number in BENCH_r*.json
     record = {"platform": jax.devices()[0].platform}
     skipped = []
+
+    # The TPU tunnel occasionally stalls for minutes mid-compile; if the
+    # driver's external `timeout` fires during such a stall, emit whatever
+    # was measured so far (never a fabricated number) before dying so the
+    # artifact tail still carries the honest partial record.
+    import signal
+
+    def _on_term(signum, frame):
+        _emit(dict(record, partial=True,
+                   terminated=f"signal {signum} at {_elapsed():.0f}s"))
+        os._exit(124)
+
+    signal.signal(signal.SIGTERM, _on_term)
 
     def fits(m):
         if mode != "all":

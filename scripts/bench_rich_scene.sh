@@ -8,6 +8,9 @@
 #   SCENE  scene root (default /tmp/rich_llff; generated if absent)
 #   WS     workspace root (default /tmp/rich_ws)
 #   FIELD  mlp | hashgrid_packed | hashgrid (default mlp)
+#   KIND   rich | clutter (default rich; clutter = the harder 7-object
+#          high-frequency scene whose extrapolated views are held out
+#          via the reference-format stems list in test_views.json)
 #   ITERS  stage-1 iterations (default 5000, the reference envelope)
 #   SAM_SIZE  vit_b | vit_l | vit_h (default vit_b: no SAM checkpoint
 #             ships in this image, so the encoder runs with random
@@ -17,14 +20,19 @@
 set -e
 cd "$(dirname "$0")/.."
 
-SCENE=${SCENE:-/tmp/rich_llff}
-WS=${WS:-/tmp/rich_ws}
+KIND=${KIND:-rich}
+SCENE=${SCENE:-/tmp/${KIND}_llff}
+WS=${WS:-/tmp/${KIND}_ws}
 FIELD=${FIELD:-mlp}
 ITERS=${ITERS:-5000}
 SAM_SIZE=${SAM_SIZE:-vit_b}
 COMMON="--data_type llff --contract --bound 128 --min_near 0.05"
+if [ "$KIND" = clutter ]; then
+  # hold out the extrapolated views (reference val_split stems semantics)
+  COMMON="$COMMON --val_type val_split --test_view_path $SCENE/test_views.json"
+fi
 
-[ -f "$SCENE/transforms.json" ] || python scripts/make_synth_scene.py "$SCENE" --format llff
+[ -f "$SCENE/transforms.json" ] || python scripts/make_synth_scene.py "$SCENE" --format llff --scene "$KIND"
 
 echo "=== stage 1: RGB NeRF ($FIELD, $ITERS iters) ==="
 python main.py "$SCENE" $COMMON --workspace "$WS/rgb_$FIELD" \
