@@ -5,7 +5,12 @@ Reference semantics:
   - LambdaLR lr * 0.1 ** min(step/iters, 1), stepped every iteration
     (main.py:298-299, scheduler_update_every_step=True)
   - EMA decay 0.95 over trainable params (nerf/trainer.py:139), updated once
-    per epoch (nerf/trainer.py:1522)
+    per epoch (nerf/trainer.py:1522).  torch_ema defaults to
+    use_num_updates=True, so the effective decay ramps as
+    min(decay, (1 + n) / (10 + n)) — 0.18 on the first epoch, 0.95 only
+    after ~180 epochs.  Without the ramp, short runs (the reference's
+    stage-3 is 200 iters ~ 10 epochs) evaluate against a nearly-initial
+    EMA average.
   - stage hand-off: params loaded from init_ckpt are frozen by name
     membership (main.py:249-256) — here an explicit boolean freeze mask and
     optax.set_to_zero for the frozen subtree.
@@ -27,6 +32,7 @@ class TrainState:
     params: Any
     opt_state: Any
     ema_params: Any
+    ema_updates: jnp.ndarray
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     ema_decay: float = struct.field(pytree_node=False, default=0.95)
 
@@ -38,11 +44,14 @@ class TrainState:
         )
 
     def update_ema(self):
-        d = self.ema_decay
+        # torch_ema num_updates ramp (torch_ema/ema.py update()): increments
+        # first, so update k (1-based) uses min(decay, (1 + k) / (10 + k))
+        n = self.ema_updates + 1
+        d = jnp.minimum(self.ema_decay, (1.0 + n) / (10.0 + n))
         new_ema = jax.tree.map(
             lambda e, p: d * e + (1.0 - d) * p, self.ema_params, self.params
         )
-        return self.replace(ema_params=new_ema)
+        return self.replace(ema_params=new_ema, ema_updates=n)
 
 
 def exp_decay_schedule(base_lr: float, total_iters: int) -> Callable:
@@ -127,6 +136,7 @@ def create_train_state(params, base_lr: float, total_iters: int,
         params=params,
         opt_state=tx.init(params),
         ema_params=params,
+        ema_updates=jnp.zeros((), jnp.int32),
         tx=tx,
         ema_decay=ema_decay,
     )

@@ -122,7 +122,9 @@ class Trainer:
                                           raw["ema_params"])
                     self.state = self.state.replace(
                         step=jnp.asarray(raw["step"]),
-                        params=params, ema_params=ema)
+                        params=params, ema_params=ema,
+                        ema_updates=jnp.asarray(
+                            raw.get("ema_updates", 200), jnp.int32))
                     self.log("[WARN] checkpoint optimizer state does not "
                              "match the current optimizer; loaded model "
                              "weights only (resumed at step "
@@ -144,6 +146,7 @@ class Trainer:
             "params": self.state.params,
             "opt_state": self.state.opt_state,
             "ema_params": self.state.ema_params,
+            "ema_updates": self.state.ema_updates,
         }
 
     def _load_state_tree(self, tree):
@@ -152,6 +155,11 @@ class Trainer:
             params=tree["params"],
             opt_state=tree["opt_state"],
             ema_params=tree["ema_params"],
+            # pre-ramp checkpoints lack the counter; resume with the
+            # asymptotic decay (a step count is an equally good stand-in
+            # but the exact value only matters for the first ~180 epochs)
+            ema_updates=jnp.asarray(tree.get("ema_updates", 200),
+                                    jnp.int32),
         )
 
     # -- stage 1 -----------------------------------------------------------

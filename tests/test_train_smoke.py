@@ -199,3 +199,30 @@ def test_freeze_mask_with_lr_scales():
                          - params["params"]["trunk"]["w0"]).max()) == 0.0
     assert float(jnp.abs(new_state.params["params"]["m_grid"]["table"]
                          - params["params"]["m_grid"]["table"]).max()) > 0.0
+
+
+def test_ema_num_updates_ramp():
+    """update_ema must follow torch_ema's use_num_updates=True semantics
+    (reference nerf/trainer.py:139 with the torch_ema default): update k
+    (1-based) uses decay min(0.95, (1 + k) / (10 + k)), so early epochs
+    track the raw params closely instead of staying near init."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sanerf_hq_tpu.train.state import create_train_state
+
+    params = {"w": jnp.zeros(())}
+    state = create_train_state(params, 1e-2, 100)
+    # pretend training moved the param to 1.0 before every EMA update
+    expected = 0.0
+    for k in range(1, 30):
+        state = state.replace(params={"w": jnp.ones(())})
+        state = state.update_ema()
+        d = min(0.95, (1.0 + k) / (10.0 + k))
+        expected = d * expected + (1.0 - d) * 1.0
+        np.testing.assert_allclose(float(state.ema_params["w"]), expected,
+                                   rtol=1e-6)
+    # after 29 short-run epochs the EMA must be mostly caught up (the fixed
+    # 0.95 decay would still be at 1 - 0.95**29 = 0.77)
+    assert float(state.ema_params["w"]) > 0.9
+    assert int(state.ema_updates) == 29
